@@ -1,0 +1,112 @@
+"""Model configuration.
+
+TPU-native replacement for the reference's compile-time parameter module and
+namelist reader (reference: source/params.f90:19-43, 54-73; namelist.nml).
+Everything the Fortran fixes at compile time is a field of one frozen
+dataclass here, so resolution presets (T30/T85/...) are runtime choices and
+the whole model is resolution-parametric.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Static model configuration (hashable; safe to close over in jit).
+
+    Geometry fields mirror source/params.f90:19-27, stepping fields
+    params.f90:30-37, physics flags params.f90:40-43, and the user namelist
+    knobs params.f90:49-50.
+    """
+
+    # -- Geometry (params.f90:19-27) --
+    trunc: int = 30     # spectral truncation total wavenumber
+    ix: int = 96        # number of longitudes
+    il: int = 48        # number of latitudes (full sphere)
+    kx: int = 8         # number of vertical (sigma) levels
+    ntr: int = 1        # number of tracers (q is tracer 0)
+
+    # -- Time stepping (params.f90:30-37) --
+    nsteps: int = 36    # steps per day
+    rob: float = 0.05   # Robert filter coefficient
+    wil: float = 0.53   # Williams filter parameter
+    alph: float = 0.5   # semi-implicit off-centering
+
+    # -- Physics cadence / flags (params.f90:40-43) --
+    iseasc: int = 1       # seasonal cycle on
+    nstrad: int = 3       # shortwave radiation every nstrad steps
+    sppt_on: bool = False
+    issty0: int = 1979    # first year in the SST anomaly file
+
+    # -- Coupling flags (land_model.f90:41, sea_model.f90:60-75) --
+    land_coupling_flag: int = 1
+    sea_coupling_flag: int = 0
+    ice_coupling_flag: int = 1
+    sst_anomaly_forcing: bool = False
+    increase_co2: bool = False
+
+    # -- User/namelist knobs (params.f90:49-50, namelist.nml) --
+    nsteps_out: int = 1
+    nstdia: int = 180
+
+    # -- TPU build knobs (new capabilities) --
+    precision: str = "fp32"      # "fp32" | "fp64"  (reference is fp64-only)
+    n_ensemble: int = 1          # vmapped ensemble members (SPPT ensembles)
+    check_interval: int = 36     # steps between stability guard checks
+
+    # ---- derived geometry ----
+    @property
+    def iy(self) -> int:
+        return self.il // 2
+
+    @property
+    def mx(self) -> int:
+        return self.trunc + 1
+
+    @property
+    def nx(self) -> int:
+        return self.trunc + 2
+
+    @property
+    def delt(self) -> float:
+        """Time step in seconds (params.f90:31)."""
+        return 86400.0 / self.nsteps
+
+    # ---- dtype policy (replaces source/types.f90) ----
+    @property
+    def rdtype(self):
+        return jnp.float64 if self.precision == "fp64" else jnp.float32
+
+    @property
+    def cdtype(self):
+        return jnp.complex128 if self.precision == "fp64" else jnp.complex64
+
+    def validate(self) -> "ModelConfig":
+        assert self.il % 2 == 0, "il must be even (two hemispheres)"
+        assert self.kx in (5, 7, 8), "sigma-level tables exist for kx in {5,7,8}"
+        assert self.ix >= 2 * self.mx, "longitudes must resolve all zonal modes"
+        return self
+
+
+def t30(**kw) -> ModelConfig:
+    """Default reference resolution: T30, 96x48, 8 levels."""
+    return ModelConfig(**kw).validate()
+
+
+def t85(**kw) -> ModelConfig:
+    """High-resolution stretch preset: T85, 256x128, 8 levels."""
+    kw.setdefault("trunc", 85)
+    kw.setdefault("ix", 256)
+    kw.setdefault("il", 128)
+    return ModelConfig(**kw).validate()
+
+
+PRESETS = {"t30": t30, "t85": t85}
+
+
+def from_preset(name: str, **kw) -> ModelConfig:
+    return PRESETS[name.lower()](**kw)
