@@ -1,0 +1,111 @@
+"""Command-line driver.
+
+Replaces the reference's `speedy` executable + run.sh + namelist.nml. The
+reference namelist file is accepted directly (--namelist), or dates/knobs
+can be given as flags.
+"""
+from __future__ import annotations
+
+import argparse
+import re
+import sys
+import time
+
+from .config import from_preset
+from .utils.calendar import Datetime
+
+
+def parse_namelist(path: str) -> dict:
+    """Parse the reference's namelist.nml (&params and &date groups;
+    params.f90:54-68, date.f90:57-71)."""
+    out = {}
+    text = open(path).read()
+    for m in re.finditer(r"^\s*([\w%]+)\s*=\s*(\S+)", text, re.M):
+        key, val = m.group(1).lower(), m.group(2).rstrip(",")
+        try:
+            out[key] = int(val)
+        except ValueError:
+            pass
+    return out
+
+
+def _dt(s: str) -> Datetime:
+    m = re.match(r"(\d{4})-(\d{2})-(\d{2})(?:[T ](\d{2}):(\d{2}))?", s)
+    if not m:
+        raise argparse.ArgumentTypeError(f"bad datetime {s!r}")
+    g = [int(x) if x else 0 for x in m.groups()]
+    return Datetime(*g)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="speedy-tpu",
+        description="TPU-native SPEEDY atmospheric model")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    r = sub.add_parser("run", help="run a forecast")
+    r.add_argument("--preset", default="t30", choices=["t30", "t85"])
+    r.add_argument("--start", type=_dt, default=Datetime(1982, 1, 1))
+    r.add_argument("--end", type=_dt, default=Datetime(1982, 1, 2))
+    r.add_argument("--namelist", help="reference-format namelist.nml")
+    r.add_argument("--output-dir", default="rundir")
+    r.add_argument("--nsteps-out", type=int, default=1)
+    r.add_argument("--nstdia", type=int, default=180)
+    r.add_argument("--precision", default="fp32", choices=["fp32", "fp64"])
+    r.add_argument("--sppt", action="store_true", help="enable SPPT")
+    r.add_argument("--sppt-seed", type=int, default=0)
+    r.add_argument("--no-output", action="store_true")
+    r.add_argument("--bc-path", help="boundary-condition directory")
+    r.add_argument("--profile", help="dump a jax profiler trace to this dir")
+
+    args = p.parse_args(argv)
+
+    if args.command == "run":
+        kw = dict(nsteps_out=args.nsteps_out, nstdia=args.nstdia,
+                  precision=args.precision, sppt_on=args.sppt)
+        start, end = args.start, args.end
+        if args.namelist:
+            nl = parse_namelist(args.namelist)
+            kw["nsteps_out"] = nl.get("nsteps_out", kw["nsteps_out"])
+            kw["nstdia"] = nl.get("nstdia", kw["nstdia"])
+            start = Datetime(nl.get("start_datetime%year", start.year),
+                             nl.get("start_datetime%month", start.month),
+                             nl.get("start_datetime%day", start.day),
+                             nl.get("start_datetime%hour", 0),
+                             nl.get("start_datetime%minute", 0))
+            end = Datetime(nl.get("end_datetime%year", end.year),
+                           nl.get("end_datetime%month", end.month),
+                           nl.get("end_datetime%day", end.day),
+                           nl.get("end_datetime%hour", 0),
+                           nl.get("end_datetime%minute", 0))
+        if args.precision == "fp64":
+            import jax
+            jax.config.update("jax_enable_x64", True)
+
+        cfg = from_preset(args.preset, **kw)
+        from .models.model import Model
+        from .utils.output import NetCDFWriter
+
+        search = [args.bc_path] if args.bc_path else None
+        print(f"speedy_tpu: {args.preset.upper()} "
+              f"{cfg.ix}x{cfg.il}x{cfg.kx}, dt={cfg.delt:.0f}s, "
+              f"{args.precision}")
+        print(f"start {start} -> end {end}")
+        model = Model(cfg, bc_search=search, sppt_seed=args.sppt_seed)
+        writer = None if args.no_output else NetCDFWriter(cfg,
+                                                          args.output_dir)
+        if args.profile:
+            import jax
+            jax.profiler.start_trace(args.profile)
+        t0 = time.time()
+        model.run(start, end, output_writer=writer)
+        wall = time.time() - t0
+        if args.profile:
+            import jax
+            jax.profiler.stop_trace()
+        print(f"wall time: {wall:.1f}s")
+        return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,334 @@
+"""Coupled surface layer: slab land, slab ocean + sea-ice, climatological
+forcing, and the daily forcing update.
+
+Reference: source/land_model.f90, source/sea_model.f90, source/coupler.f90,
+source/forcing.f90. Host-side init reads the monthly climatologies; the
+daily update (climatology interpolation + solar + albedo + orographic
+corrections) and the per-step slab integrations are pure device functions.
+
+Note on the reference's call pattern (SURVEY section 3.4): the slab models
+are stepped EVERY time step with per-delt relaxation coefficients
+(rhcap* use delt, sea_model.f90:245-246), despite "one day" comments.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..constants import ALHC, GAMMA, GRAV, RGAS, SBC, REFRH1
+from ..ops import spectral as sp
+from ..utils.io import load_boundary_file, find_boundary_file
+from ..utils.calendar import forint_weights, forin5_weights
+from .boundaries import Boundaries, fillsf, forchk
+from .physics import DailyForcing, SurfaceState, Fluxes, PhysicsParams
+from .physics.shortwave import zonal_average_fields, EMISFC
+from .physics.humidity import get_qsat
+
+SD2SC = 60.0        # snow depth for full snow cover (land_model.f90:43)
+ALBSEA = 0.07       # mod_radcon.f90:22-24
+ALBICE = 0.60
+ALBSN = 0.60
+SSTFR = 273.2 - 1.8  # freezing-point SST (sea_model.f90:285)
+
+
+@dataclasses.dataclass(frozen=True)
+class LandSeaParams:
+    """Host-side (numpy) constants for the slab models."""
+    fmask_l: np.ndarray
+    bmask_l: np.ndarray
+    fmask_s: np.ndarray
+    bmask_s: np.ndarray
+    rhcapl: np.ndarray   # delt/heat-capacity (land)
+    cdland: np.ndarray   # damping factor (land)
+    rhcaps: np.ndarray   # delt/heat-capacity (sea)
+    rhcapi: np.ndarray   # delt/heat-capacity (ice)
+    cdsea: np.ndarray
+    cdice: np.ndarray
+    alb0: np.ndarray
+    beta: float = 1.0    # heat-flux coefficient at sea/ice interface
+
+
+class Climatology(NamedTuple):
+    """Monthly climatologies as device arrays [12, il, ix]."""
+    stl12: jnp.ndarray
+    snowd12: jnp.ndarray
+    soilw12: jnp.ndarray
+    sst12: jnp.ndarray
+    sice12: jnp.ndarray
+    sstan3: jnp.ndarray  # [3, il, ix] anomaly window (zeros if unavailable)
+
+
+def build_land_sea(cfg: ModelConfig, bounds_fmask: np.ndarray,
+                   alb0: np.ndarray, radang: np.ndarray,
+                   search=None) -> Tuple[LandSeaParams, dict]:
+    """land_model_init + sea_model_init (land_model.f90:47-181,
+    sea_model.f90:79-251). Returns (params, monthly climatology dict)."""
+    il, ix = cfg.il, cfg.ix
+    thrsh = 0.1
+
+    # --- masks ---
+    fmask_l = bounds_fmask.copy()
+    bmask_l = np.where(fmask_l >= thrsh, 1.0, 0.0)
+    fmask_l = np.where(fmask_l >= thrsh,
+                       np.where(bounds_fmask > 1.0 - thrsh, 1.0, fmask_l), 0.0)
+    fmask_s = 1.0 - bounds_fmask
+    bmask_s = np.where(fmask_s >= thrsh, 1.0, 0.0)
+    fmask_s = np.where(fmask_s >= thrsh,
+                       np.where(fmask_s > 1.0 - thrsh, 1.0, fmask_s), 0.0)
+
+    # --- land climatologies ---
+    stl12 = np.stack([fillsf(f, 0.0) for f in
+                      load_boundary_file("land.nc", "stl", 12, search)])
+    stl12 = forchk(bmask_l, 0.0, 400.0, 273.0, stl12)
+    snowd12 = load_boundary_file("snow.nc", "snowd", 12, search)
+    snowd12 = forchk(bmask_l, 0.0, 20000.0, 0.0, snowd12)
+
+    veg_high = load_boundary_file("surface.nc", "vegh", search=search)
+    veg_low = load_boundary_file("surface.nc", "vegl", search=search)
+    veg = np.maximum(0.0, veg_high + 0.8 * veg_low)
+    swcap, swwil = 0.30, 0.17
+    idep2 = 3
+    swwil2 = idep2 * swwil
+    rsw = 1.0 / (swcap + idep2 * (swcap - swwil))
+    swl1 = load_boundary_file("soil.nc", "swl1", 12, search)
+    swl2 = load_boundary_file("soil.nc", "swl2", 12, search)
+    soilw12 = np.minimum(
+        1.0, rsw * (swl1 + veg[None] * np.maximum(0.0, idep2 * swl2 - swwil2)))
+    soilw12 = forchk(bmask_l, 0.0, 10.0, 0.0, soilw12)
+
+    # --- sea climatologies ---
+    sst12 = np.stack([fillsf(f, 0.0) for f in
+                      load_boundary_file("sea_surface_temperature.nc", "sst",
+                                         12, search)])
+    sst12 = forchk(bmask_s, 100.0, 400.0, 273.0, sst12)
+    sice12 = np.maximum(load_boundary_file("sea_ice.nc", "icec", 12, search),
+                        0.0)
+    sice12 = forchk(bmask_s, 0.0, 1.0, 0.0, sice12)
+
+    sstan3 = np.zeros((3, il, ix))
+    if cfg.sst_anomaly_forcing:
+        try:
+            find_boundary_file("sea_surface_temperature_anomaly.nc", search)
+            # loaded per-month by the driver (obs_ssta); initial window is
+            # read there too
+        except FileNotFoundError:
+            import warnings
+            warnings.warn("SST anomaly file not found; anomaly forcing "
+                          "will use zeros (the reference ships a dangling "
+                          "symlink for this file)")
+
+    # --- land heat capacities (land_model.f90:141-180) ---
+    depth_soil, depth_lice, tdland = 1.0, 5.0, 40.0
+    flandmin = 1.0 / 3.0
+    hcapl = depth_soil * 2.50e6
+    hcapli = depth_lice * 1.93e6
+    dmask_l = np.where(fmask_l < flandmin, 0.0, 1.0)
+    rhcapl = np.where(alb0 < 0.4, cfg.delt / hcapl, cfg.delt / hcapli)
+    cdland = dmask_l * tdland / (1.0 + dmask_l * tdland)
+
+    # --- sea heat capacities (sea_model.f90:101-250), global domain ---
+    depth_ml, dept0_ml = 60.0, 40.0
+    depth_ice, dept0_ice = 2.5, 1.5
+    tdsst, tdice = 90.0, 30.0
+    fseamin = 1.0 / 3.0
+    coslat = np.cos(radang)  # [il]
+    hcaps = 4.18e6 * (depth_ml + (dept0_ml - depth_ml) * coslat**3)
+    hcapi = 1.93e6 * (depth_ice + (dept0_ice - depth_ice) * coslat**2)
+
+    dmask_s = np.ones((il, ix))
+    # latitudinal smoothing is a no-op for the all-ones global mask
+    dmask_s[fmask_s < fseamin] = 0.0
+    rhcaps = np.broadcast_to((cfg.delt / hcaps)[:, None], (il, ix)).copy()
+    rhcapi = np.broadcast_to((cfg.delt / hcapi)[:, None], (il, ix)).copy()
+    cdsea = dmask_s * tdsst / (1.0 + dmask_s * tdsst)
+    cdice = dmask_s * tdice / (1.0 + dmask_s * tdice)
+
+    t = np.float64 if cfg.precision == "fp64" else np.float32
+    cast = lambda a: np.asarray(a, dtype=t)
+    params = LandSeaParams(
+        fmask_l=cast(fmask_l), bmask_l=cast(bmask_l), fmask_s=cast(fmask_s),
+        bmask_s=cast(bmask_s), rhcapl=cast(rhcapl), cdland=cast(cdland),
+        rhcaps=cast(rhcaps), rhcapi=cast(rhcapi), cdsea=cast(cdsea),
+        cdice=cast(cdice), alb0=cast(alb0))
+    clim = dict(stl12=stl12, snowd12=snowd12, soilw12=soilw12, sst12=sst12,
+                sice12=sice12, sstan3=sstan3)
+    return params, clim
+
+
+def climatology_to_device(cfg: ModelConfig, clim: dict) -> Climatology:
+    t = cfg.rdtype
+    return Climatology(**{k: jnp.asarray(v, t) for k, v in clim.items()})
+
+
+def _interp(w: jnp.ndarray, clim: jnp.ndarray) -> jnp.ndarray:
+    """Monthly interpolation as a weighted sum over the month axis."""
+    return jnp.einsum("m,mji->ji", w, clim)
+
+
+class DateScalars(NamedTuple):
+    """Small date-derived inputs for the daily device update."""
+    w5: jnp.ndarray      # [12] forin5 weights for imont1
+    w2: jnp.ndarray      # [12] forint weights for imont1
+    w2a: jnp.ndarray     # [3] forint weights for the anomaly window (imon=2)
+    fsol: jnp.ndarray    # [il, 1] solar fields (host-computed trig of tyear)
+    ozupp: jnp.ndarray
+    ozone: jnp.ndarray
+    zenit: jnp.ndarray
+    stratz: jnp.ndarray
+
+
+def make_date_scalars(cfg: ModelConfig, geom_np: dict, imont1: int,
+                      tmonth: float, tyear: float) -> DateScalars:
+    t = cfg.rdtype
+    zon = zonal_average_fields(geom_np["sia"], geom_np["coa"], tyear)
+    col = lambda a: jnp.asarray(a, t)[:, None]
+    return DateScalars(
+        w5=jnp.asarray(forin5_weights(imont1, tmonth), t),
+        w2=jnp.asarray(forint_weights(imont1, tmonth), t),
+        w2a=jnp.asarray(forint_weights(2, tmonth, n=3), t),
+        fsol=col(zon["fsol"]), ozupp=col(zon["ozupp"]),
+        ozone=col(zon["ozone"]), zenit=col(zon["zenit"]),
+        stratz=col(zon["stratz"]),
+    )
+
+
+def daily_update(cfg: ModelConfig, pp: PhysicsParams, lsp: LandSeaParams,
+                 sc: sp.SpectralConsts, clim: Climatology, ds: DateScalars,
+                 surf: SurfaceState) -> DailyForcing:
+    """Device-side daily forcing update: climatology interpolation
+    (couple_*_atm), sea-ice adjustment (sea_model.f90:283-305), albedo and
+    orographic diffusion corrections (forcing.f90:49-99)."""
+    stlcl = _interp(ds.w5, clim.stl12)
+    snowdcl = _interp(ds.w2, clim.snowd12)
+    soilwcl = _interp(ds.w2, clim.soilw12)
+    sstcl = _interp(ds.w5, clim.sst12)
+    sicecl = _interp(ds.w2, clim.sice12)
+    sstan = jnp.einsum("m,mji->ji", ds.w2a, clim.sstan3) \
+        if cfg.sst_anomaly_forcing else jnp.zeros_like(sstcl)
+
+    # sea-ice freezing-point adjustment
+    warm = sstcl > SSTFR
+    sicecl_w = jnp.minimum(0.5, sicecl)
+    sstcl_w = jnp.where(sicecl_w > 0.0,
+                        SSTFR + (sstcl - SSTFR) / (1.0 - sicecl_w), sstcl)
+    sicecl_c = jnp.maximum(0.5, sicecl)
+    ticecl_c = SSTFR + (sstcl - SSTFR) / sicecl_c
+    sicecl = jnp.where(warm, sicecl_w, sicecl_c)
+    ticecl = jnp.where(warm, SSTFR, ticecl_c)
+    sstcl = jnp.where(warm, sstcl_w, SSTFR)
+
+    # surface albedo (forcing.f90:55-62)
+    fmask_l = jnp.asarray(lsp.fmask_l)
+    snowc = jnp.minimum(1.0, snowdcl / SD2SC)
+    alb0 = jnp.asarray(lsp.alb0)
+    alb_l = alb0 + snowc * (ALBSN - alb0)
+    # albedo uses the *previous* day's sea-ice state as the reference does
+    # (sice_am from the last coupling step)
+    alb_s = ALBSEA + surf.sice_am * (ALBICE - ALBSEA)
+    albsfc = alb_s + fmask_l * (alb_l - alb_s)
+
+    # orographic-correction spectral fields (forcing.f90:73-99)
+    gamlat = GAMMA / (1000.0 * GRAV)
+    phis0 = jnp.asarray(pp.phis0)
+    corh = gamlat * phis0
+    tcorh = sp.grid_to_spec(sc, corh)
+
+    pexp = 1.0 / (RGAS * gamlat)
+    tsfc = fmask_l * surf.stl_am + jnp.asarray(lsp.fmask_s) * surf.sst_am
+    tref = tsfc + corh
+    psfc = (tsfc / tref) ** pexp
+    qref = get_qsat(tref, jnp.ones_like(psfc), -1.0)
+    qsfc = get_qsat(tsfc, psfc, 1.0)
+    qcorh = sp.grid_to_spec(sc, REFRH1 * (qref - qsfc))
+
+    return DailyForcing(
+        fsol=ds.fsol, ozupp=ds.ozupp, ozone=ds.ozone, zenit=ds.zenit,
+        stratz=ds.stratz, alb_l=alb_l, alb_s=alb_s, albsfc=albsfc,
+        snowc=snowc, tcorh=tcorh, qcorh=qcorh,
+        stlcl_ob=stlcl, snowd_am=snowdcl, soilw_am=soilwcl,
+        sstcl_ob=sstcl, sicecl_ob=sicecl, ticecl_ob=ticecl, sstan_ob=sstan)
+
+
+def init_surface_state(cfg: ModelConfig, pp: PhysicsParams,
+                       lsp: LandSeaParams, sc: sp.SpectralConsts,
+                       clim: Climatology, ds: DateScalars) -> SurfaceState:
+    """Day-0 initialization (couple_land_atm(0)/couple_sea_atm(0):
+    land_model.f90:201-205, sea_model.f90:307-318)."""
+    zero = jnp.zeros((cfg.il, cfg.ix), cfg.rdtype)
+    surf0 = SurfaceState(stl_lm=zero, stl_am=zero, sst_om=zero,
+                         tice_om=zero, sice_om=zero, sst_am=zero,
+                         sice_am=zero, tice_am=zero, ssti_om=zero)
+    daily = daily_update(cfg, pp, lsp, sc, clim, ds, surf0)
+    sst_om = daily.sstcl_ob if cfg.sea_coupling_flag > 0 else zero
+    surf = SurfaceState(
+        stl_lm=daily.stlcl_ob, stl_am=daily.stlcl_ob,
+        sst_om=sst_om, tice_om=daily.ticecl_ob, sice_om=daily.sicecl_ob,
+        sst_am=zero, sice_am=zero, tice_am=zero, ssti_om=zero)
+    return _update_am_fields(cfg, daily, surf)
+
+
+def _update_am_fields(cfg: ModelConfig, daily: DailyForcing,
+                      surf: SurfaceState) -> SurfaceState:
+    """Sea-surface fields seen by the atmosphere (sea_model.f90:327-362)."""
+    sstan_am = daily.sstan_ob if cfg.sst_anomaly_forcing \
+        else jnp.zeros_like(daily.sstan_ob)
+    if cfg.sea_coupling_flag <= 1:
+        sst_am = daily.sstcl_ob + sstan_am
+    else:  # flag 2 (>=3 gated at build)
+        sst_am = surf.sst_om
+    if cfg.ice_coupling_flag > 0:
+        sice_am, tice_am = surf.sice_om, surf.tice_om
+    else:
+        sice_am, tice_am = daily.sicecl_ob, daily.ticecl_ob
+    sst_am = sst_am + sice_am * (tice_am - sst_am)
+    ssti_om = surf.sst_om + sice_am * (tice_am - surf.sst_om)
+    return surf._replace(sst_am=sst_am, sice_am=sice_am, tice_am=tice_am,
+                         ssti_om=ssti_om)
+
+
+def couple_step(cfg: ModelConfig, lsp: LandSeaParams, daily: DailyForcing,
+                surf: SurfaceState, fluxes: Fluxes) -> SurfaceState:
+    """Per-step slab land + sea/ice integration (couple_sea_land,
+    coupler.f90:30-38; run_land_model land_model.f90:224-239;
+    run_sea_model sea_model.f90:387-444)."""
+    # --- land ---
+    if cfg.land_coupling_flag == 1:
+        tanom = surf.stl_lm - daily.stlcl_ob
+        tanom = jnp.asarray(lsp.cdland) * (
+            tanom + jnp.asarray(lsp.rhcapl) * fluxes.sfc.hfluxn[0])
+        stl_lm = tanom + daily.stlcl_ob
+        stl_am = stl_lm
+    else:
+        stl_lm = surf.stl_lm
+        stl_am = daily.stlcl_ob
+
+    # --- sea + ice ---
+    if cfg.sea_coupling_flag > 0 or cfg.ice_coupling_flag > 0:
+        difice = ((ALBSEA - ALBICE) * fluxes.ssrd
+                  + EMISFC * SBC * (SSTFR**4 - surf.tice_am**4)
+                  + fluxes.sfc.shf[1] + fluxes.sfc.evap[1] * ALHC)
+        hflux_i = fluxes.sfc.hfluxn[1] + difice * (1.0 - surf.sice_am)
+        hflux = fluxes.sfc.hfluxn[1] \
+            - daily.sicecl_ob * (hflux_i + lsp.beta * (SSTFR - surf.tice_om))
+        tanom = surf.sst_om - daily.sstcl_ob
+        tanom = jnp.asarray(lsp.cdsea) * (
+            tanom + jnp.asarray(lsp.rhcaps) * hflux)
+        sst_om = tanom + daily.sstcl_ob
+
+        hflux_ice = hflux_i + lsp.beta * (SSTFR - surf.tice_om)
+        tanom_i = surf.tice_om - daily.ticecl_ob
+        anom0 = 20.0
+        cdis = jnp.asarray(lsp.cdice) * (anom0 / (anom0 + jnp.abs(tanom_i)))
+        tanom_i = cdis * (tanom_i + jnp.asarray(lsp.rhcapi) * hflux_ice)
+        tice_om = tanom_i + daily.ticecl_ob
+        sice_om = daily.sicecl_ob
+    else:
+        sst_om, tice_om, sice_om = surf.sst_om, surf.tice_om, surf.sice_om
+
+    surf = surf._replace(stl_lm=stl_lm, stl_am=stl_am, sst_om=sst_om,
+                         tice_om=tice_om, sice_om=sice_om)
+    return _update_am_fields(cfg, daily, surf)

@@ -1,0 +1,237 @@
+"""Top-level model: build, initialize, run.
+
+Replaces the reference's initialization.f90 + speedy.f90 driver. The model
+state (prognostics + surface + radiation + SPPT) advances through a fully
+jitted per-day function (nsteps steps as a scan over shortwave triples);
+the host only computes tiny date-derived scalars once per day and handles
+output and the stability guard.
+
+All device constants travel as explicit jit arguments (ModelConsts) —
+closing over device arrays is not portable to this TPU backend; host-side
+numpy tables (PhysicsParams, LandSeaParams, config) are closed over and
+embed as XLA constants.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..constants import GRAV, P0
+from ..geometry import build_geometry, build_geometry_np
+from ..ops import spectral as sp
+from ..utils import calendar as cal
+from ..utils.diagnostics import (Diagnostics, compute_diagnostics,
+                                 check_diagnostics, format_diagnostics)
+from . import boundaries as bnd
+from . import coupling
+from .geopotential import build_geopotential, get_geopotential
+from .hdiffusion import build_diffusion, build_diffusion_np, DiffusionConsts
+from .implicit import build_implicit, ImplicitConsts
+from .physics import build_physics_params, get_physical_tendencies
+from .physics.shortwave import init_radiation_state, RadiationState
+from .physics.sppt import init_sppt_state, SpptState
+from .prognostics import rest_state
+from .state import PrognosticState
+from .tendencies import DynConsts
+from .time_stepping import OrographicCorrection, first_step, step
+
+
+class ModelConsts(NamedTuple):
+    """Device-constant pytrees, passed through jit boundaries."""
+    dyn: DynConsts
+    dc: DiffusionConsts
+    ic_half: ImplicitConsts
+    ic_full: ImplicitConsts
+    ic_2dt: ImplicitConsts
+    clim: coupling.Climatology
+
+
+class ModelState(NamedTuple):
+    """Full model state advanced by the step loop."""
+    prog: PrognosticState
+    surf: coupling.SurfaceState
+    rad: RadiationState
+    sppt: Optional[SpptState]
+
+
+class StepOutputs(NamedTuple):
+    diag: Diagnostics
+
+
+def _make_step_fns(cfg: ModelConfig, pp, lsp):
+    """Build the jitted per-day and bootstrap functions. cfg/pp/lsp are
+    host-side (hashable-by-identity closures with numpy tables)."""
+
+    def make_physics_fn(mc: ModelConsts, daily, mstate: ModelState,
+                        compute_sw: bool):
+        def physics_fn(prog: PrognosticState, phi_spec):
+            return get_physical_tendencies(
+                cfg, pp, mc.dyn.sc, daily, mstate.surf, mstate.rad,
+                mstate.sppt, compute_sw, prog, phi_spec)
+        return physics_fn
+
+    def one_step(mc: ModelConsts, state: ModelState, daily,
+                 compute_sw: bool) -> Tuple[ModelState, StepOutputs]:
+        corr = OrographicCorrection(tcorh=daily.tcorh, qcorh=daily.qcorh)
+        phys = make_physics_fn(mc, daily, state, compute_sw)
+        prog, aux = step(cfg, mc.dyn, mc.dc, mc.ic_2dt, state.prog,
+                         2, 2, 2 * cfg.delt, corr, phys)
+        surf = coupling.couple_step(cfg, lsp, daily, state.surf, aux.fluxes)
+        new = ModelState(prog=prog, surf=surf, rad=aux.rad,
+                         sppt=aux.sppt if cfg.sppt_on else state.sppt)
+        diag = compute_diagnostics(mc.dyn.sc, prog.vor[1], prog.div[1],
+                                   prog.t[1])
+        return new, StepOutputs(diag=diag)
+
+    def run_day(mc: ModelConsts, state: ModelState, ds,
+                collect_output: bool):
+        daily = coupling.daily_update(cfg, pp, lsp, mc.dyn.sc, mc.clim, ds,
+                                      state.surf)
+        n_triples = cfg.nsteps // cfg.nstrad
+
+        def triple(carry, _):
+            st = carry
+            outs, grids = [], []
+            for i in range(cfg.nstrad):
+                st, out = one_step(mc, st, daily, compute_sw=(i == 0))
+                outs.append(out)
+                if collect_output:
+                    grids.append(gridded_fields(mc, st.prog))
+            outs = jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+            if collect_output:
+                grids = jax.tree.map(lambda *xs: jnp.stack(xs), *grids)
+                return st, (outs, grids)
+            return st, outs
+
+        state, ys = jax.lax.scan(triple, state, None, length=n_triples)
+        ys = jax.tree.map(lambda a: a.reshape((-1,) + a.shape[2:]), ys)
+        return state, ys
+
+    def boot(mc: ModelConsts, state: ModelState, ds) -> ModelState:
+        daily = coupling.daily_update(cfg, pp, lsp, mc.dyn.sc, mc.clim, ds,
+                                      state.surf)
+        corr = OrographicCorrection(tcorh=daily.tcorh, qcorh=daily.qcorh)
+        phys = make_physics_fn(mc, daily, state, compute_sw=True)
+        prog, aux = first_step(cfg, mc.dyn, mc.dc, mc.ic_half, mc.ic_full,
+                               state.prog, corr, phys)
+        return state._replace(prog=prog, rad=aux.rad,
+                              sppt=aux.sppt if cfg.sppt_on else state.sppt)
+
+    def gridded_fields(mc: ModelConsts, prog: PrognosticState,
+                       level: int = 0) -> dict:
+        """Physical-space output fields (input_output.f90:183-206)."""
+        kx = cfg.kx
+        sc = mc.dyn.sc
+        ucos, vcos = sp.uvspec(sc, prog.vor[level], prog.div[level])
+        wind = sp.spec_to_grid(sc, jnp.concatenate([ucos, vcos], axis=0),
+                               scale_by_inv_cos=True)
+        phi = get_geopotential(mc.dyn.gc, prog.t[level], mc.dyn.phis)
+        scal = jnp.concatenate(
+            [prog.t[level], prog.tr[level, 0], phi, prog.ps[level][None]],
+            axis=0)
+        g = sp.spec_to_grid(sc, scal)
+        return dict(u=wind[:kx], v=wind[kx:], t=g[:kx],
+                    q=g[kx:2 * kx] * 1.0e-3, phi=g[2 * kx:3 * kx] / GRAV,
+                    ps=P0 * jnp.exp(g[3 * kx]))
+
+    run_day_jit = jax.jit(run_day, static_argnames=("collect_output",))
+    boot_jit = jax.jit(boot)
+    gridded_jit = jax.jit(gridded_fields, static_argnames=("level",))
+    return run_day_jit, boot_jit, gridded_jit
+
+
+class Model:
+    """Build-once, run-many model driver (initialization.f90:12-82)."""
+
+    def __init__(self, cfg: ModelConfig, bc_search=None, sppt_seed: int = 0):
+        if cfg.sea_coupling_flag >= 1:
+            # parity with sea_model.f90:188-190
+            raise NotImplementedError(
+                "sea_coupling_flag >= 1 not implemented (reference stops too)")
+        self.cfg = cfg
+        self.geom_np = build_geometry_np(cfg)
+        self.sp_np = sp.build_spectral_np(cfg, self.geom_np)
+        sc = sp.build_spectral(cfg, self.geom_np)
+        self.bounds = bnd.build_boundaries(cfg, self.sp_np, search=bc_search)
+        dyn = DynConsts(sc=sc, geom=build_geometry(cfg),
+                        gc=build_geopotential(cfg, self.geom_np),
+                        phis=self.bounds.phis)
+        self.diff_np = build_diffusion_np(cfg, self.geom_np)
+
+        fmask = np.asarray(self.bounds.fmask, np.float64)
+        alb0 = np.asarray(self.bounds.alb0, np.float64)
+        phi0 = np.asarray(self.bounds.phi0, np.float64)
+        phis0 = np.asarray(self.bounds.phis0, np.float64)
+        self.lsp, clim_np = coupling.build_land_sea(
+            cfg, fmask, alb0, self.geom_np["radang"], search=bc_search)
+        self.pp = build_physics_params(cfg, self.geom_np, self.sp_np,
+                                       self.lsp.fmask_l, self.lsp.fmask_s,
+                                       phi0, phis0)
+        self.mc = ModelConsts(
+            dyn=dyn, dc=build_diffusion(cfg, self.geom_np),
+            ic_half=build_implicit(cfg, self.geom_np, self.diff_np,
+                                   0.5 * cfg.delt),
+            ic_full=build_implicit(cfg, self.geom_np, self.diff_np, cfg.delt),
+            ic_2dt=build_implicit(cfg, self.geom_np, self.diff_np,
+                                  2 * cfg.delt),
+            clim=coupling.climatology_to_device(cfg, clim_np))
+        self.sppt_seed = sppt_seed
+        self._run_day, self._boot, self._gridded = _make_step_fns(
+            cfg, self.pp, self.lsp)
+
+    # ------------------------------------------------------------------
+    def initialize(self, start: cal.Datetime) -> ModelState:
+        cfg = self.cfg
+        imont1, tmonth, tyear = cal.season_vars(start, cfg.iseasc,
+                                                start.month)
+        ds = coupling.make_date_scalars(cfg, self.geom_np, imont1, tmonth,
+                                        tyear)
+        prog = rest_state(cfg, self.geom_np, self.sp_np, self.bounds)
+        surf = coupling.init_surface_state(cfg, self.pp, self.lsp,
+                                           self.mc.dyn.sc, self.mc.clim, ds)
+        rad = init_radiation_state(cfg)
+        sppt = init_sppt_state(cfg, self.pp.sppt_sigma, self.sppt_seed) \
+            if cfg.sppt_on else None
+        state = ModelState(prog=prog, surf=surf, rad=rad, sppt=sppt)
+        return self._boot(self.mc, state, ds)
+
+    # ------------------------------------------------------------------
+    def run(self, start: cal.Datetime, end: cal.Datetime,
+            output_writer=None, verbose: bool = True) -> ModelState:
+        """Main loop (speedy.f90:27-54), day-chunked."""
+        cfg = self.cfg
+        state = self.initialize(start)
+        date = start
+        if output_writer is not None:
+            output_writer(0, date, start, jax.tree.map(
+                np.asarray, self._gridded(self.mc, state.prog)))
+        model_step = 0
+        while date != end:
+            imont1, tmonth, tyear = cal.season_vars(date, cfg.iseasc,
+                                                    start.month)
+            ds = coupling.make_date_scalars(cfg, self.geom_np, imont1,
+                                            tmonth, tyear)
+            collect = output_writer is not None
+            state, ys = self._run_day(self.mc, state, ds,
+                                      collect_output=collect)
+            outs, grids = ys if collect else (ys, None)
+            day_diag = jax.tree.map(np.asarray, outs.diag)
+            for i in range(cfg.nsteps):
+                model_step += 1
+                date = cal.newdate(date, cfg.nsteps)
+                diag_i = Diagnostics(*[a[i] for a in day_diag])
+                if model_step % cfg.nstdia == 0 and verbose:
+                    print(format_diagnostics(diag_i, model_step))
+                check_diagnostics(diag_i, model_step)
+                if output_writer is not None and \
+                        model_step % cfg.nsteps_out == 0:
+                    fields = {k: np.asarray(v[i]) for k, v in grids.items()}
+                    output_writer(model_step, date, start, fields)
+                if date == end:
+                    break
+        return state

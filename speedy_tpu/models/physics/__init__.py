@@ -1,0 +1,256 @@
+"""Physics suite orchestrator.
+
+Reference: source/physics.f90. One function computes all parametrization
+tendencies on the grid: convection -> large-scale condensation -> shortwave
+radiation (every nstrad steps) -> longwave down -> surface fluxes ->
+longwave up -> vertical diffusion (+ surface-flux injection) -> SPPT.
+
+Vertical-profile constants and other small tables live as *numpy* arrays in
+PhysicsParams and are closed over (embedded as XLA constants); everything
+time-varying flows through explicit pytrees (DailyForcing, SurfaceState,
+RadiationState, SpptState).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ...config import ModelConfig
+from ...constants import CP, GRAV, P0
+from ...ops import spectral as sp
+from ..state import PrognosticState
+from . import condensation, convection, longwave, shortwave, sppt as sppt_mod
+from . import surface as surface_mod
+from . import vertical_diffusion as vdif_mod
+from .humidity import spec_hum_to_rel_hum
+from .shortwave import RadiationState, init_radiation_state
+from .sppt import SpptState
+
+
+@dataclasses.dataclass(frozen=True)
+class PhysicsParams:
+    """Host-side (numpy) physics constants, closed over in jit.
+
+    Vertical tables follow physics.f90:12-39; fband longwave_radiation.f90:
+    197-220; forog surface_fluxes.f90:300-309.
+    """
+    fsg: np.ndarray       # [kx]
+    dhs: np.ndarray       # [kx]
+    sigh: np.ndarray      # [kx+1] half-level sigma (= hsg)
+    sigl: np.ndarray      # [kx] log(fsg)
+    wvi2: np.ndarray      # [kx] half-level interpolation weights wvi(:,2)
+    grdsig: np.ndarray    # [kx] g/(dsigma p0)
+    grdscp: np.ndarray    # [kx] g/(dsigma p0 cp)
+    fband: np.ndarray     # [301, 4]
+    forog: np.ndarray     # [il, ix] orographic drag factor
+    coa: np.ndarray       # [il] cos(lat)
+    fmask_l: np.ndarray   # [il, ix]
+    fmask_s: np.ndarray   # [il, ix]
+    phis0: np.ndarray     # [il, ix] filtered surface geopotential
+    sppt_sigma: np.ndarray  # [mx, nx]
+    sppt_mu: np.ndarray   # [kx] SPPT vertical taper (sppt.f90:20)
+
+
+def build_physics_params(cfg: ModelConfig, geom_np: dict, sp_np: dict,
+                         fmask_l: np.ndarray, fmask_s: np.ndarray,
+                         phi0: np.ndarray, phis0: np.ndarray) -> PhysicsParams:
+    hsg, dhs, fsg = geom_np["hsg"], geom_np["dhs"], geom_np["fsg"]
+    kx = cfg.kx
+    sigl = np.log(fsg)
+    sigh = hsg.copy()  # sigh(0:kx) == hsg (physics.f90:19-23)
+    wvi1 = np.zeros(kx)
+    wvi2 = np.zeros(kx)
+    wvi1[: kx - 1] = 1.0 / (sigl[1:] - sigl[:-1])
+    wvi2[: kx - 1] = (np.log(sigh[1:kx]) - sigl[: kx - 1]) * wvi1[: kx - 1]
+    wvi2[kx - 1] = (np.log(0.99) - sigl[kx - 1]) * wvi1[kx - 2]
+    grdsig = GRAV / (dhs * P0)
+    grdscp = grdsig / CP
+
+    t = np.float64 if cfg.precision == "fp64" else np.float32
+    cast = lambda a: np.asarray(a, dtype=t)
+    return PhysicsParams(
+        fsg=cast(fsg), dhs=cast(dhs), sigh=cast(sigh), sigl=cast(sigl),
+        wvi2=cast(wvi2), grdsig=cast(grdsig), grdscp=cast(grdscp),
+        fband=cast(longwave.build_fband()),
+        forog=cast(surface_mod.orographic_drag_factor(phi0)),
+        coa=cast(geom_np["coa"]),
+        fmask_l=cast(fmask_l), fmask_s=cast(fmask_s), phis0=cast(phis0),
+        sppt_sigma=cast(sppt_mod.sppt_sigma(cfg, sp_np["el2"])),
+        sppt_mu=cast(np.ones(kx)),
+    )
+
+
+class DailyForcing(NamedTuple):
+    """Daily-updated forcing fields (forcing.f90:15-100 + climatology
+    interpolation from the land/sea models)."""
+    fsol: jnp.ndarray    # [il, 1] TOA insolation
+    ozupp: jnp.ndarray   # [il, 1]
+    ozone: jnp.ndarray   # [il, 1]
+    zenit: jnp.ndarray   # [il, 1]
+    stratz: jnp.ndarray  # [il, 1]
+    alb_l: jnp.ndarray   # [il, ix]
+    alb_s: jnp.ndarray   # [il, ix]
+    albsfc: jnp.ndarray  # [il, ix]
+    snowc: jnp.ndarray   # [il, ix]
+    tcorh: jnp.ndarray   # [mx, nx, 2]
+    qcorh: jnp.ndarray   # [mx, nx, 2]
+    stlcl_ob: jnp.ndarray    # [il, ix] climatological land temperature
+    snowd_am: jnp.ndarray    # [il, ix]
+    soilw_am: jnp.ndarray    # [il, ix]
+    sstcl_ob: jnp.ndarray    # [il, ix] (after sea-ice adjustment)
+    sicecl_ob: jnp.ndarray   # [il, ix]
+    ticecl_ob: jnp.ndarray   # [il, ix]
+    sstan_ob: jnp.ndarray    # [il, ix] observed SST anomaly
+
+
+class SurfaceState(NamedTuple):
+    """Prognostic + derived surface fields (land_model.f90:26-31,
+    sea_model.f90:45-55)."""
+    stl_lm: jnp.ndarray
+    stl_am: jnp.ndarray
+    sst_om: jnp.ndarray
+    tice_om: jnp.ndarray
+    sice_om: jnp.ndarray
+    sst_am: jnp.ndarray
+    sice_am: jnp.ndarray
+    tice_am: jnp.ndarray
+    ssti_om: jnp.ndarray
+
+
+class Fluxes(NamedTuple):
+    """Per-step physics flux diagnostics (auxiliaries.f90:15-33)."""
+    precnv: jnp.ndarray
+    precls: jnp.ndarray
+    cbmf: jnp.ndarray
+    tsr: jnp.ndarray
+    ssrd: jnp.ndarray
+    ssr: jnp.ndarray
+    slrd: jnp.ndarray
+    slr: jnp.ndarray
+    olr: jnp.ndarray
+    sfc: surface_mod.SurfaceFluxes
+
+
+class PhysicsAux(NamedTuple):
+    """Everything physics returns besides the tendencies."""
+    fluxes: Fluxes
+    rad: RadiationState
+    sppt: Optional[SpptState]
+
+
+def get_physical_tendencies(cfg: ModelConfig, pp: PhysicsParams,
+                            sc: sp.SpectralConsts, daily: DailyForcing,
+                            surf: SurfaceState, rad: RadiationState,
+                            sppt_state: Optional[SpptState],
+                            compute_sw: bool, state: PrognosticState,
+                            phi_spec: jnp.ndarray
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                                       jnp.ndarray, PhysicsAux]:
+    """Physics tendencies at time level 0 (physics.f90:43-223).
+
+    Returns grid-point tendency increments (utend, vtend, ttend, qtend) to be
+    added to the dynamics tendencies, plus PhysicsAux. ``compute_sw`` is a
+    static Python bool (shortwave cadence, speedy.f90:35).
+    """
+    kx = cfg.kx
+    fsg, dhs, sigh = pp.fsg, pp.dhs, pp.sigh
+    grdsig = pp.grdsig[:, None, None]
+    grdscp = pp.grdscp[:, None, None]
+
+    # --- grid-point fields, all transforms batched (physics.f90:95-104) ---
+    vor_s, div_s = state.vor[0], state.div[0]
+    ucos, vcos = sp.uvspec(sc, vor_s, div_s)
+    wind_g = sp.spec_to_grid(sc, jnp.concatenate([ucos, vcos], axis=0),
+                             scale_by_inv_cos=True)
+    ug, vg = wind_g[:kx], wind_g[kx:]
+    scal = jnp.concatenate(
+        [state.t[0], state.tr[0, 0], phi_spec, state.ps[0][None]], axis=0)
+    scal_g = sp.spec_to_grid(sc, scal)
+    tg, qg, phig = scal_g[:kx], scal_g[kx:2 * kx], scal_g[2 * kx:3 * kx]
+    pslg = scal_g[3 * kx]
+
+    psg = jnp.exp(pslg)
+    rps = 1.0 / psg
+    qg = jnp.maximum(qg, 0.0)
+    se = CP * tg + phig
+    # per-level qsat with pressure sig*psa (sig broadcast as [kx,1,1])
+    rh, qsat = spec_hum_to_rel_hum(tg, psg[None], fsg[:, None, None], qg)
+
+    # --- precipitation (physics.f90:124-138) ---
+    itop, cbmf, precnv, dfse, dfqa = convection.convection(
+        fsg, dhs, pp.wvi2, psg, se, qg, qsat)
+    tt_cnv = dfse * rps[None] * grdscp
+    qt_cnv = dfqa * rps[None] * grdsig
+    # level 1 never scaled/used (loops start at k=2; dfse[0] == 0)
+    icnv = kx - itop
+
+    itop, precls, tt_lsc, qt_lsc = condensation.large_scale_condensation(
+        jnp.asarray(fsg), jnp.asarray(dhs), psg, qg, qsat, itop)
+
+    ttend = tt_cnv + tt_lsc
+    qtend = qt_cnv + qt_lsc
+    utend = jnp.zeros_like(ttend)
+    vtend = jnp.zeros_like(ttend)
+
+    # --- radiation (physics.f90:144-186) ---
+    if compute_sw:
+        gse = (se[kx - 2] - se[kx - 1]) / (phig[kx - 2] - phig[kx - 1])
+        icltop, cloudc, clstr, qcloud = shortwave.clouds(
+            qg, rh, precnv, precls, itop, gse, jnp.asarray(pp.fmask_l))
+        ssrd, ssr, tsr, dfabs_sw, tau2, stratc = shortwave.shortwave_rad_fluxes(
+            fsg, dhs, daily.fsol, daily.ozupp, daily.ozone, daily.zenit,
+            daily.stratz, daily.albsfc, psg, qg, icltop, cloudc, clstr,
+            qcloud)
+        rad = RadiationState(tau2=tau2, stratc=stratc,
+                             tt_rsw=dfabs_sw * rps[None] * grdscp,
+                             ssrd=ssrd, ssr=ssr, tsr=tsr)
+
+    slrd, dfabs_lw, st4a1, st4a2, lwflux = longwave.downward_longwave(
+        pp.wvi2, jnp.asarray(pp.fband), rad.tau2, tg)
+
+    # --- surface fluxes + land skin temperature (physics.f90:168-176) ---
+    sfc, saved = surface_mod.surface_fluxes(
+        float(pp.wvi2[kx - 1]), float(pp.sigl[kx - 1]),
+        jnp.asarray(pp.forog), jnp.asarray(pp.coa),
+        surf.stl_am, daily.soilw_am, daily.alb_l, daily.alb_s, daily.snowc,
+        psg, ug, vg, tg, qg, rh, phig, jnp.asarray(pp.phis0),
+        jnp.asarray(pp.fmask_l), surf.sst_am, rad.ssrd, slrd)
+    # anomaly-coupled second sea pass (sea_coupling_flag > 0) is gated at
+    # model build: the reference stops for flags >= 1 (sea_model.f90:188-190)
+
+    slr, olr, dfabs_lw = longwave.upward_longwave(
+        dhs, jnp.asarray(pp.fband), rad.tau2, rad.stratc, tg, sfc.tsfc,
+        slrd, sfc.slru[2], st4a1, st4a2, lwflux, dfabs_lw)
+    tt_rlw = dfabs_lw * rps[None] * grdscp
+    ttend = ttend + rad.tt_rsw + tt_rlw
+
+    # --- PBL: vertical diffusion + surface-flux injection
+    # (physics.f90:192-205) ---
+    ut_pbl, vt_pbl, tt_pbl, qt_pbl = vdif_mod.vertical_diffusion(
+        fsg, dhs, sigh, se, rh, qg, qsat, phig, icnv)
+    ut_pbl = ut_pbl.at[kx - 1].add(sfc.ustr[2] * rps * pp.grdsig[kx - 1])
+    vt_pbl = vt_pbl.at[kx - 1].add(sfc.vstr[2] * rps * pp.grdsig[kx - 1])
+    tt_pbl = tt_pbl.at[kx - 1].add(sfc.shf[2] * rps * pp.grdscp[kx - 1])
+    qt_pbl = qt_pbl.at[kx - 1].add(sfc.evap[2] * rps * pp.grdsig[kx - 1])
+    utend = utend + ut_pbl
+    vtend = vtend + vt_pbl
+    ttend = ttend + tt_pbl
+    qtend = qtend + qt_pbl
+
+    # --- SPPT multiplicative noise on the physics increments
+    # (physics.f90:207-222) ---
+    if cfg.sppt_on:
+        pattern, sppt_state = sppt_mod.gen_sppt(cfg, sc, pp.sppt_sigma,
+                                                sppt_state)
+        fac = 1.0 + pattern * pp.sppt_mu[:, None, None]
+        utend, vtend = fac * utend, fac * vtend
+        ttend, qtend = fac * ttend, fac * qtend
+
+    fluxes = Fluxes(precnv=precnv, precls=precls, cbmf=cbmf, tsr=rad.tsr,
+                    ssrd=rad.ssrd, ssr=rad.ssr, slrd=slrd, slr=slr, olr=olr,
+                    sfc=sfc)
+    return utend, vtend, ttend, qtend, PhysicsAux(fluxes=fluxes, rad=rad,
+                                                  sppt=sppt_state)

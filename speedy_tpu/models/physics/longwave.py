@@ -1,0 +1,153 @@
+"""Longwave radiation: 4-band emission/absorption sweeps.
+
+Reference: source/longwave_radiation.f90. The Planck band-fraction table
+fband(100:400, 4) becomes a [301, 4] gather with the temperature index
+clamped to the table range (the reference guarantees this by construction);
+`nint` is matched with floor(T + 0.5) for the positive temperatures
+involved.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ...constants import SBC
+from .shortwave import EPSLW, EMISFC
+
+NBAND = 4
+
+
+def build_fband() -> np.ndarray:
+    """Energy fraction emitted in each LW band as f(T), T = 100..400 K
+    (longwave_radiation.f90:197-220). Returns [301, 4] (index T-100)."""
+    fband = np.zeros((301, 4))
+    eps1 = 1.0 - EPSLW
+    t = np.arange(200, 321, dtype=np.float64)
+    i = t.astype(int) - 100
+    fband[i, 1] = (0.148 - 3.0e-6 * (t - 247.0)**2) * eps1
+    fband[i, 2] = (0.356 - 5.2e-6 * (t - 282.0)**2) * eps1
+    fband[i, 3] = (0.314 + 1.0e-5 * (t - 315.0)**2) * eps1
+    fband[i, 0] = eps1 - fband[i, 1] - fband[i, 2] - fband[i, 3]
+    fband[:100] = fband[100]
+    fband[221:] = fband[220]
+    return fband
+
+
+def _fband_at(fband: jnp.ndarray, ta: jnp.ndarray) -> jnp.ndarray:
+    """fband rows for nint(ta) -> [..., 4]."""
+    idx = jnp.clip(jnp.floor(ta + 0.5).astype(jnp.int32) - 100, 0, 300)
+    return fband[idx]
+
+
+def downward_longwave(wvi2: np.ndarray, fband: jnp.ndarray,
+                      tau2: jnp.ndarray, ta: jnp.ndarray
+                      ) -> Tuple[jnp.ndarray, ...]:
+    """-> (slrd, dfabs, st4a1, st4a2, flux) (longwave_radiation.f90:16-117).
+
+    st4a1/st4a2 ([kx, il, ix]) and the 4 band fluxes are passed on to the
+    upward computation within the same step.
+    """
+    kx = ta.shape[0]
+    nl1 = kx - 1
+
+    # half-level temperatures (1-based k = 1..kx-1)
+    thalf = ta[:-1] + wvi2[: kx - 1, None, None] * (ta[1:] - ta[:-1])
+
+    # stratospheric mean temperatures and tropospheric gradients
+    st4a2 = [None] * kx
+    st4a2[0] = 0.75 * ta[0] + 0.25 * thalf[0]
+    st4a2[1] = 0.50 * ta[1] + 0.25 * (thalf[0] + thalf[1])
+    for k in range(2, nl1):  # 0-based levels 2..kx-2 (1-based 3..nl1)
+        st4a2[k] = 0.5 * jnp.maximum(thalf[k] - thalf[k - 1], 0.0)
+    st4a2[kx - 1] = jnp.maximum(ta[kx - 1] - thalf[nl1 - 1], 0.0)
+
+    # blackbody emission
+    st4a1 = [None] * kx
+    for k in range(2):
+        st4a1[k] = SBC * st4a2[k]**4
+        st4a2[k] = jnp.zeros_like(ta[k])
+    for k in range(2, kx):
+        st3a = SBC * ta[k]**3
+        st4a1[k] = st3a * ta[k]
+        st4a2[k] = 4.0 * st3a * st4a2[k]
+    st4a1 = jnp.stack(st4a1, axis=0)
+    st4a2 = jnp.stack(st4a2, axis=0)
+
+    dfabs = jnp.zeros_like(ta)
+    fb = _fband_at(fband, ta)  # [kx, il, ix, 4]
+
+    # 3.1 stratosphere, bands 1-2, k=1
+    flux = [None] * NBAND
+    for jb in range(2):
+        emis = 1.0 - tau2[jb, 0]
+        brad = fb[0, ..., jb] * (st4a1[0] + emis * st4a2[0])
+        flux[jb] = emis * brad
+        dfabs = dfabs.at[0].add(-flux[jb])
+    for jb in range(2, NBAND):
+        flux[jb] = jnp.zeros_like(ta[0])
+
+    # 3.2 troposphere
+    for jb in range(NBAND):
+        f = flux[jb]
+        for k in range(1, kx):
+            emis = 1.0 - tau2[jb, k]
+            brad = fb[k, ..., jb] * (st4a1[k] + emis * st4a2[k])
+            dfabs = dfabs.at[k].add(f)
+            f = tau2[jb, k] * f + emis * brad
+            dfabs = dfabs.at[k].add(-f)
+        flux[jb] = f
+
+    slrd = EMISFC * (flux[0] + flux[1] + flux[2] + flux[3])
+
+    # 3.4 "black" band correction
+    corlw = EPSLW * EMISFC * st4a1[kx - 1]
+    dfabs = dfabs.at[kx - 1].add(-corlw)
+    slrd = slrd + corlw
+
+    return slrd, dfabs, st4a1, st4a2, jnp.stack(flux, axis=0)
+
+
+def upward_longwave(dhs: np.ndarray, fband: jnp.ndarray, tau2: jnp.ndarray,
+                    stratc: jnp.ndarray, ta: jnp.ndarray, ts: jnp.ndarray,
+                    fsfcd: jnp.ndarray, fsfcu: jnp.ndarray,
+                    st4a1: jnp.ndarray, st4a2: jnp.ndarray,
+                    flux: jnp.ndarray, dfabs: jnp.ndarray
+                    ) -> Tuple[jnp.ndarray, ...]:
+    """-> (slr, olr, dfabs) (longwave_radiation.f90:120-194)."""
+    kx = ta.shape[0]
+    refsfc = 1.0 - EMISFC
+    slr = fsfcu - fsfcd
+
+    fb_ts = _fband_at(fband, ts)  # [il, ix, 4]
+    fb = _fband_at(fband, ta)
+    fluxes = [fb_ts[..., jb] * fsfcu + refsfc * flux[jb]
+              for jb in range(NBAND)]
+
+    dfabs = dfabs.at[kx - 1].add(EPSLW * fsfcu)
+
+    for jb in range(NBAND):
+        f = fluxes[jb]
+        for k in range(kx - 1, 0, -1):  # 0-based kx-1 .. 1
+            emis = 1.0 - tau2[jb, k]
+            brad = fb[k, ..., jb] * (st4a1[k] - emis * st4a2[k])
+            dfabs = dfabs.at[k].add(f)
+            f = tau2[jb, k] * f + emis * brad
+            dfabs = dfabs.at[k].add(-f)
+        fluxes[jb] = f
+
+    # stratosphere k=1, bands 1-2
+    for jb in range(2):
+        emis = 1.0 - tau2[jb, 0]
+        brad = fb[0, ..., jb] * (st4a1[0] - emis * st4a2[0])
+        dfabs = dfabs.at[0].add(fluxes[jb])
+        fluxes[jb] = tau2[jb, 0] * fluxes[jb] + emis * brad
+        dfabs = dfabs.at[0].add(-fluxes[jb])
+
+    corlw1 = dhs[0] * stratc[1] * st4a1[0] + stratc[0]
+    corlw2 = dhs[1] * stratc[1] * st4a1[1]
+    dfabs = dfabs.at[0].add(-corlw1)
+    dfabs = dfabs.at[1].add(-corlw2)
+    olr = corlw1 + corlw2 + fluxes[0] + fluxes[1] + fluxes[2] + fluxes[3]
+    return slr, olr, dfabs

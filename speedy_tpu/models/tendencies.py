@@ -207,9 +207,7 @@ def spectral_tendencies(cfg: ModelConfig, dyn: DynConsts, ic: ImplicitConsts,
 
 def get_tendencies(cfg: ModelConfig, dyn: DynConsts, ic: ImplicitConsts,
                    state: PrognosticState, j2: int,
-                   physics_fn: Optional[PhysicsFn] = None,
-                   physics_args: tuple = ()
-                   ) -> Tuple:
+                   physics_fn: Optional[PhysicsFn] = None) -> Tuple:
     """Full tendency computation (tendencies.f90:11-37): grid-point dynamics
     (+ physics at level 0) -> spectral conversion -> spectral tendencies ->
     semi-implicit correction (alph >= 0.5).
@@ -222,7 +220,7 @@ def get_tendencies(cfg: ModelConfig, dyn: DynConsts, ic: ImplicitConsts,
     aux = None
     if physics_fn is not None:
         phi = get_geopotential(dyn.gc, state.t[0], dyn.phis)
-        du, dv, dt_, dq, aux = physics_fn(state, phi, *physics_args)
+        du, dv, dt_, dq, aux = physics_fn(state, phi)
         utend = utend + du
         vtend = vtend + dv
         ttend = ttend + dt_

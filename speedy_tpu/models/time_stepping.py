@@ -48,8 +48,7 @@ def step(cfg: ModelConfig, dyn: DynConsts, dc: DiffusionConsts,
          ic: ImplicitConsts, state: PrognosticState,
          j1: int, j2: int, dt: float,
          corr: OrographicCorrection,
-         physics_fn=None, physics_args: tuple = ()
-         ) -> Tuple[PrognosticState, object]:
+         physics_fn=None) -> Tuple[PrognosticState, object]:
     """One (possibly bootstrap) time step (time_stepping.f90:35-122).
 
     j1=1, j2=1: forward step; j1=1, j2=2: first leapfrog; j1=2, j2=2:
@@ -58,7 +57,7 @@ def step(cfg: ModelConfig, dyn: DynConsts, dc: DiffusionConsts,
     """
     sc = dyn.sc
     vordt, divdt, tdt, psdt, trdt, aux = get_tendencies(
-        cfg, dyn, ic, state, j2 - 1, physics_fn, physics_args)
+        cfg, dyn, ic, state, j2 - 1, physics_fn)
 
     # ---- horizontal diffusion (time_stepping.f90:62-102) ----
     vordt = apply_diffusion(state.vor[0], vordt, dc.dmp, ic.dmp1)
@@ -99,12 +98,11 @@ def step(cfg: ModelConfig, dyn: DynConsts, dc: DiffusionConsts,
 def first_step(cfg: ModelConfig, dyn: DynConsts, dc: DiffusionConsts,
                ic_half: ImplicitConsts, ic_full: ImplicitConsts,
                state: PrognosticState, corr: OrographicCorrection,
-               physics_fn=None, physics_args: tuple = ()
-               ) -> Tuple[PrognosticState, object]:
+               physics_fn=None) -> Tuple[PrognosticState, object]:
     """Leapfrog bootstrap (time_stepping.f90:12-24): forward half step, then
     a full first leapfrog step; the caller continues with the 2dt set."""
     state, aux = step(cfg, dyn, dc, ic_half, state, 1, 1, 0.5 * cfg.delt,
-                      corr, physics_fn, physics_args)
+                      corr, physics_fn)
     state, aux = step(cfg, dyn, dc, ic_full, state, 1, 2, cfg.delt,
-                      corr, physics_fn, physics_args)
+                      corr, physics_fn)
     return state, aux

@@ -1,0 +1,54 @@
+"""Device-mesh helpers for SPMD runs.
+
+Parallelism map for this model (SURVEY section 5.8):
+* 'dp'  — ensemble members (data parallel; SPPT ensembles vmap over members)
+* 'sp'  — spatial sharding: latitude bands in grid space / total-wavenumber
+  (n) bands in spectral space. The spectral<->grid transforms contract over
+  these axes, so resharding between phases is an all-to-all that XLA's SPMD
+  partitioner inserts from the sharding constraints — the spectral-GCM
+  analog of a distributed-FFT transpose.
+
+The reference is fully serial (no MPI/OpenMP anywhere in source/); this
+entire capability is new in the TPU build.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_ensemble: int = 1, n_spatial: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = n_ensemble * n_spatial
+    assert len(devices) >= n, (len(devices), n)
+    arr = np.array(devices[:n]).reshape(n_ensemble, n_spatial)
+    return Mesh(arr, ("dp", "sp"))
+
+
+def ensemble_state_sharding(mesh: Mesh, state) -> object:
+    """Shard an ensemble-stacked ModelState: member axis over 'dp' and the
+    spectral n axis (size nx, divisible by small powers of two) over 'sp'.
+    Grid-space [il, ix] surface fields shard latitude over 'sp'."""
+    def spec_of(x):
+        if x.ndim >= 4 and x.shape[-1] == 2:      # [E, ..., mx, nx, 2]
+            spec = [None] * x.ndim
+            spec[0] = "dp"
+            spec[-2] = "sp"
+            return NamedSharding(mesh, P(*spec))
+        if x.ndim >= 3:                            # [E, ..., il, ix]
+            spec = [None] * x.ndim
+            spec[0] = "dp"
+            spec[-2] = "sp"
+            return NamedSharding(mesh, P(*spec))
+        if x.ndim >= 1:
+            return NamedSharding(mesh, P("dp"))
+        return NamedSharding(mesh, P())
+    return jax.tree.map(spec_of, state)
+
+
+def replicated(mesh: Mesh, tree) -> object:
+    return jax.tree.map(lambda _: NamedSharding(mesh, P()), tree)

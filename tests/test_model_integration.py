@@ -1,0 +1,50 @@
+"""End-to-end integration: full coupled model (dynamics + all physics +
+slab land/sea/ice + daily forcing) runs one simulated day stably and writes
+reference-schema NetCDF output. This is the SURVEY section 7 stage-4
+milestone in test form (fp32 to match the TPU configuration)."""
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from speedy_tpu.config import t30
+from speedy_tpu.models.model import Model
+from speedy_tpu.utils.calendar import Datetime
+from speedy_tpu.utils.diagnostics import compute_diagnostics, check_diagnostics
+from speedy_tpu.utils.output import NetCDFWriter
+
+
+@pytest.mark.slow
+def test_one_day_coupled_run(tmp_path):
+    cfg = t30(precision="fp32", nsteps_out=36, nstdia=1000)
+    m = Model(cfg)
+    w = NetCDFWriter(cfg, outdir=str(tmp_path))
+    state = m.run(Datetime(1982, 1, 1), Datetime(1982, 1, 2),
+                  output_writer=w, verbose=False)
+
+    # stability guard at the end of the day
+    diag = compute_diagnostics(m.mc.dyn.sc, state.prog.vor[1],
+                               state.prog.div[1], state.prog.t[1])
+    check_diagnostics(diag, 36)
+
+    # the flow has spun up from rest
+    assert float(np.max(np.asarray(diag.reke))) > 0.01
+
+    # output files exist with the reference naming scheme and schema
+    files = sorted(os.listdir(tmp_path))
+    assert "198201010000.nc" in files
+    assert "198201020000.nc" in files
+    from scipy.io import netcdf_file
+    f = netcdf_file(os.path.join(tmp_path, "198201020000.nc"), mmap=False)
+    assert set(f.variables) >= {"time", "lon", "lat", "lev",
+                                "u", "v", "t", "q", "phi", "ps"}
+    t = f.variables["t"][:]
+    assert t.shape == (1, cfg.kx, cfg.il, cfg.ix)
+    assert 170.0 < t.min() < t.max() < 330.0
+    ps = f.variables["ps"][:]
+    assert 45000.0 < ps.min() < ps.max() < 110000.0
+    q = f.variables["q"][:]
+    assert q.max() < 0.05  # kg/kg
+    # surface state advanced (slab models active)
+    assert float(np.abs(np.asarray(state.surf.stl_am)).max()) > 200.0
