@@ -7,6 +7,7 @@ can be given as flags.
 from __future__ import annotations
 
 import argparse
+import os
 import re
 import sys
 import time
@@ -78,9 +79,14 @@ def main(argv=None):
                            nl.get("end_datetime%day", end.day),
                            nl.get("end_datetime%hour", 0),
                            nl.get("end_datetime%minute", 0))
+        import jax
         if args.precision == "fp64":
-            import jax
             jax.config.update("jax_enable_x64", True)
+        # persistent compilation cache: repeat runs skip the TPU compile
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.expanduser("~/.cache/speedy_tpu_xla"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
         cfg = from_preset(args.preset, **kw)
         from .models.model import Model
@@ -92,13 +98,22 @@ def main(argv=None):
               f"{args.precision}")
         print(f"start {start} -> end {end}")
         model = Model(cfg, bc_search=search, sppt_seed=args.sppt_seed)
-        writer = None if args.no_output else NetCDFWriter(cfg,
-                                                          args.output_dir)
+        writer = None
+        if not args.no_output:
+            # prefer the native async writer (background-thread encoding +
+            # disk I/O); fall back to the scipy writer
+            try:
+                from .utils.native_output import AsyncNetCDFWriter
+                writer = AsyncNetCDFWriter(cfg, args.output_dir)
+            except Exception:
+                writer = NetCDFWriter(cfg, args.output_dir)
         if args.profile:
             import jax
             jax.profiler.start_trace(args.profile)
         t0 = time.time()
         model.run(start, end, output_writer=writer)
+        if writer is not None and hasattr(writer, "drain"):
+            writer.drain()
         wall = time.time() - t0
         if args.profile:
             import jax

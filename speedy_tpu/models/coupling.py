@@ -110,16 +110,6 @@ def build_land_sea(cfg: ModelConfig, bounds_fmask: np.ndarray,
     sice12 = forchk(bmask_s, 0.0, 1.0, 0.0, sice12)
 
     sstan3 = np.zeros((3, il, ix))
-    if cfg.sst_anomaly_forcing:
-        try:
-            find_boundary_file("sea_surface_temperature_anomaly.nc", search)
-            # loaded per-month by the driver (obs_ssta); initial window is
-            # read there too
-        except FileNotFoundError:
-            import warnings
-            warnings.warn("SST anomaly file not found; anomaly forcing "
-                          "will use zeros (the reference ships a dangling "
-                          "symlink for this file)")
 
     # --- land heat capacities (land_model.f90:141-180) ---
     depth_soil, depth_lice, tdland = 1.0, 5.0, 40.0
@@ -159,6 +149,48 @@ def build_land_sea(cfg: ModelConfig, bounds_fmask: np.ndarray,
     return params, clim
 
 
+ANOMALY_FILE = "sea_surface_temperature_anomaly.nc"
+ANOMALY_MONTHS = 420  # sea_model.f90:177
+
+
+def _read_anomaly_month(cfg: ModelConfig, bmask_s: np.ndarray,
+                        month_1b: int, search=None) -> np.ndarray:
+    """One month slice of the 420-month anomaly file, range-checked
+    (sea_model.f90:176-181, obs_ssta :366-384). Returns zeros when the file
+    is absent (the reference ships a dangling symlink for it)."""
+    try:
+        find_boundary_file(ANOMALY_FILE, search)
+    except FileNotFoundError:
+        import warnings
+        warnings.warn(f"{ANOMALY_FILE} not found; SST anomaly set to zero")
+        return np.zeros_like(bmask_s)
+    data = load_boundary_file(ANOMALY_FILE, "ssta", ANOMALY_MONTHS, search)
+    idx = int(np.clip(month_1b - 1, 0, ANOMALY_MONTHS - 1))
+    return forchk(bmask_s, -50.0, 50.0, 0.0, data[idx])
+
+
+def initial_anomaly_window(cfg: ModelConfig, bmask_s: np.ndarray,
+                           isst0: int, search=None) -> np.ndarray:
+    """Initial 3-month window around the start month (sea_model.f90:172-182):
+    isst0 = (start_year - issty0)*12 + start_month."""
+    window = np.zeros((3,) + bmask_s.shape)
+    for m in range(1, 4):
+        if (isst0 <= 1 and m != 2) or isst0 > 1:
+            window[m - 1] = _read_anomaly_month(cfg, bmask_s,
+                                                isst0 - 2 + m, search)
+    return window
+
+
+def advance_anomaly_window(cfg: ModelConfig, bmask_s: np.ndarray,
+                           sstan3, next_month: int, search=None):
+    """Month-start shift of the anomaly window (obs_ssta,
+    sea_model.f90:366-384). sstan3 is the device [3, il, ix] array."""
+    new = _read_anomaly_month(cfg, bmask_s, next_month, search)
+    sstan3 = jnp.concatenate(
+        [sstan3[1:], jnp.asarray(new, sstan3.dtype)[None]], axis=0)
+    return sstan3
+
+
 def climatology_to_device(cfg: ModelConfig, clim: dict) -> Climatology:
     t = cfg.rdtype
     return Climatology(**{k: jnp.asarray(v, t) for k, v in clim.items()})
@@ -183,13 +215,16 @@ class DateScalars(NamedTuple):
 
 def make_date_scalars(cfg: ModelConfig, geom_np: dict, imont1: int,
                       tmonth: float, tyear: float) -> DateScalars:
-    t = cfg.rdtype
+    """Host-side numpy leaves: device transfer happens once at the jit call
+    boundary (eager per-field device puts cost ~4 ms/day, as much as the
+    whole day of device compute)."""
+    t = np.float64 if cfg.precision == "fp64" else np.float32
     zon = zonal_average_fields(geom_np["sia"], geom_np["coa"], tyear)
-    col = lambda a: jnp.asarray(a, t)[:, None]
+    col = lambda a: np.asarray(a, t)[:, None]
     return DateScalars(
-        w5=jnp.asarray(forin5_weights(imont1, tmonth), t),
-        w2=jnp.asarray(forint_weights(imont1, tmonth), t),
-        w2a=jnp.asarray(forint_weights(2, tmonth, n=3), t),
+        w5=np.asarray(forin5_weights(imont1, tmonth), t),
+        w2=np.asarray(forint_weights(imont1, tmonth), t),
+        w2a=np.asarray(forint_weights(2, tmonth, n=3), t),
         fsol=col(zon["fsol"]), ozupp=col(zon["ozupp"]),
         ozone=col(zon["ozone"]), zenit=col(zon["zenit"]),
         stratz=col(zon["stratz"]),

@@ -139,16 +139,33 @@ def _make_step_fns(cfg: ModelConfig, pp, lsp):
                     q=g[kx:2 * kx] * 1.0e-3, phi=g[2 * kx:3 * kx] / GRAV,
                     ps=P0 * jnp.exp(g[3 * kx]))
 
+    def run_span(mc: ModelConsts, state: ModelState, ds_days):
+        """Scan over whole days entirely on device: ds_days is a DateScalars
+        pytree stacked on a leading day axis. Returns per-day guard extrema
+        (max reke/deke, min/max tmean over the day's steps)."""
+        def day_body(st, ds):
+            st, outs = run_day(mc, st, ds, collect_output=False)
+            guard = (jnp.max(outs.diag.reke, axis=0),
+                     jnp.max(outs.diag.deke, axis=0),
+                     jnp.min(outs.diag.tmean, axis=0),
+                     jnp.max(outs.diag.tmean, axis=0))
+            return st, guard
+        return jax.lax.scan(day_body, state, ds_days)
+
+    run_span_jit = jax.jit(run_span)
     run_day_jit = jax.jit(run_day, static_argnames=("collect_output",))
     boot_jit = jax.jit(boot)
     gridded_jit = jax.jit(gridded_fields, static_argnames=("level",))
-    return run_day_jit, boot_jit, gridded_jit
+    raw = dict(run_day=run_day, boot=boot, one_step=one_step,
+               gridded_fields=gridded_fields, run_span=run_span)
+    return run_day_jit, boot_jit, gridded_jit, run_span_jit, raw
 
 
 class Model:
     """Build-once, run-many model driver (initialization.f90:12-82)."""
 
     def __init__(self, cfg: ModelConfig, bc_search=None, sppt_seed: int = 0):
+        self._bc_search = bc_search
         if cfg.sea_coupling_flag >= 1:
             # parity with sea_model.f90:188-190
             raise NotImplementedError(
@@ -181,12 +198,19 @@ class Model:
                                   2 * cfg.delt),
             clim=coupling.climatology_to_device(cfg, clim_np))
         self.sppt_seed = sppt_seed
-        self._run_day, self._boot, self._gridded = _make_step_fns(
-            cfg, self.pp, self.lsp)
+        (self._run_day, self._boot, self._gridded, self._run_span,
+         self.raw_fns) = _make_step_fns(cfg, self.pp, self.lsp)
 
     # ------------------------------------------------------------------
     def initialize(self, start: cal.Datetime) -> ModelState:
         cfg = self.cfg
+        if cfg.sst_anomaly_forcing:
+            # initial 3-month SST anomaly window (sea_model.f90:172-182)
+            isst0 = (start.year - cfg.issty0) * 12 + start.month
+            window = coupling.initial_anomaly_window(
+                cfg, self.lsp.bmask_s, isst0, self._bc_search)
+            self.mc = self.mc._replace(clim=self.mc.clim._replace(
+                sstan3=jnp.asarray(window, cfg.rdtype)))
         imont1, tmonth, tyear = cal.season_vars(start, cfg.iseasc,
                                                 start.month)
         ds = coupling.make_date_scalars(cfg, self.geom_np, imont1, tmonth,
@@ -201,6 +225,53 @@ class Model:
         return self._boot(self.mc, state, ds)
 
     # ------------------------------------------------------------------
+    def run_fast(self, start: cal.Datetime, n_days: int,
+                 state: Optional[ModelState] = None,
+                 check: bool = True) -> ModelState:
+        """Fast path: the whole span runs as one on-device scan over days
+        (chunked at month boundaries when SST-anomaly forcing is active).
+        No per-step output; the stability guard is checked per day from the
+        returned extrema. Used for climatology runs and benchmarks."""
+        cfg = self.cfg
+        if state is None:
+            state = self.initialize(start)
+        date = start
+        days_left = n_days
+        while days_left > 0:
+            # chunk until the next anomaly-window update (month start)
+            if cfg.sst_anomaly_forcing:
+                if date.day == 1 and date != start:
+                    next_month = (start.year - cfg.issty0) * 12 + date.month
+                    sstan3 = coupling.advance_anomaly_window(
+                        cfg, self.lsp.bmask_s, self.mc.clim.sstan3,
+                        next_month, self._bc_search)
+                    self.mc = self.mc._replace(
+                        clim=self.mc.clim._replace(sstan3=sstan3))
+                chunk = min(days_left,
+                            cal.NDAYCAL[date.month - 1] - date.day + 1)
+            else:
+                chunk = days_left
+            ds_list, d = [], date
+            for _ in range(chunk):
+                imont1, tmonth, tyear = cal.season_vars(d, cfg.iseasc,
+                                                        start.month)
+                ds_list.append(coupling.make_date_scalars(
+                    cfg, self.geom_np, imont1, tmonth, tyear))
+                for _ in range(cfg.nsteps):
+                    d = cal.newdate(d, cfg.nsteps)
+            ds_days = jax.tree.map(lambda *xs: np.stack(xs), *ds_list)
+            state, guard = self._run_span(self.mc, state, ds_days)
+            if check:
+                reke, deke, tmin, tmax = [np.asarray(g) for g in guard]
+                for di in range(chunk):
+                    diag = Diagnostics(reke=reke[di], deke=deke[di],
+                                       tmean=np.where(tmin[di] < 180.0,
+                                                      tmin[di], tmax[di]))
+                    check_diagnostics(diag, di)
+            date = d
+            days_left -= chunk
+        return state
+
     def run(self, start: cal.Datetime, end: cal.Datetime,
             output_writer=None, verbose: bool = True) -> ModelState:
         """Main loop (speedy.f90:27-54), day-chunked."""
@@ -212,6 +283,15 @@ class Model:
                 np.asarray, self._gridded(self.mc, state.prog)))
         model_step = 0
         while date != end:
+            if cfg.sst_anomaly_forcing and date.day == 1 and model_step > 0:
+                # monthly advance of the anomaly window (obs_ssta,
+                # sea_model.f90:366-384; triggered from couple_sea_atm:273)
+                next_month = (start.year - cfg.issty0) * 12 + date.month
+                sstan3 = coupling.advance_anomaly_window(
+                    cfg, self.lsp.bmask_s, self.mc.clim.sstan3, next_month,
+                    self._bc_search)
+                self.mc = self.mc._replace(
+                    clim=self.mc.clim._replace(sstan3=sstan3))
             imont1, tmonth, tyear = cal.season_vars(date, cfg.iseasc,
                                                     start.month)
             ds = coupling.make_date_scalars(cfg, self.geom_np, imont1,

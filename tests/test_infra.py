@@ -1,0 +1,111 @@
+"""Calendar, namelist parsing, leapfrog-filter, and output-schema tests."""
+import numpy as np
+import jax.numpy as jnp
+
+from speedy_tpu.config import t30
+from speedy_tpu.utils import calendar as cal
+from speedy_tpu.cli import parse_namelist
+
+
+def test_calendar_advance_and_leap_quirk():
+    cfg = t30()
+    d = cal.Datetime(1982, 1, 1, 0, 0)
+    # one step = 40 minutes (36 steps/day)
+    d2 = cal.newdate(d, cfg.nsteps)
+    assert (d2.hour, d2.minute) == (0, 40)
+    # a full day of steps advances the date by one day
+    for _ in range(cfg.nsteps):
+        d = cal.newdate(d, cfg.nsteps)
+    assert d == cal.Datetime(1982, 1, 2, 0, 0)
+    # month rollover
+    d = cal.Datetime(1982, 1, 31, 23, 20)
+    d = cal.newdate(d, cfg.nsteps)
+    assert (d.month, d.day) == (2, 1)
+    # the reference's leap-day quirk: Feb has 29 days in years % 4 == 0
+    # (date.f90:129-133) despite the 365-day calendar
+    d = cal.Datetime(1984, 2, 28, 23, 20)
+    d = cal.newdate(d, cfg.nsteps)
+    assert (d.month, d.day) == (2, 29)
+    d = cal.Datetime(1983, 2, 28, 23, 20)
+    d = cal.newdate(d, cfg.nsteps)
+    assert (d.month, d.day) == (3, 1)
+
+
+def test_season_vars():
+    imont1, tmonth, tyear = cal.season_vars(cal.Datetime(1982, 1, 1))
+    assert imont1 == 1
+    np.testing.assert_allclose(tmonth, 0.5 / 31)
+    np.testing.assert_allclose(tyear, 0.5 / 365)
+    _, tmonth, tyear = cal.season_vars(cal.Datetime(1982, 7, 16))
+    np.testing.assert_allclose(tmonth, 15.5 / 31)
+
+
+def test_interpolation_weights_partition():
+    # both interpolators are convex-ish combinations summing to 1
+    for tm in (0.1, 0.5, 0.9):
+        w2 = cal.forint_weights(5, tm)
+        np.testing.assert_allclose(w2.sum(), 1.0, atol=1e-14)
+        assert (w2 != 0).sum() <= 2
+        w5 = cal.forin5_weights(5, tm)
+        np.testing.assert_allclose(w5.sum(), 1.0, atol=1e-14)
+        assert (w5 != 0).sum() <= 5
+    # forin5 is mean-conserving: interpolating a constant field gives the
+    # constant, and the month-mean of daily interpolations equals the
+    # monthly value (checked on a linear ramp)
+    clim = np.arange(12.0)
+    days = np.linspace(0.5 / 30, 1 - 0.5 / 30, 30)
+    vals = [cal.forin5_weights(6, tm) @ clim for tm in days]
+    np.testing.assert_allclose(np.mean(vals), clim[5], atol=1e-2)
+
+
+def test_namelist_parsing(tmp_path):
+    p = tmp_path / "namelist.nml"
+    p.write_text("""! comment
+&params
+nsteps_out = 1
+nstdia     = 180
+/
+&date
+start_datetime%year   = 1982
+start_datetime%month  = 1
+start_datetime%day    = 1
+start_datetime%hour   = 0
+start_datetime%minute = 0
+end_datetime%year     = 1982
+end_datetime%month    = 1
+end_datetime%day      = 10
+/
+""")
+    nl = parse_namelist(str(p))
+    assert nl["nsteps_out"] == 1
+    assert nl["nstdia"] == 180
+    assert nl["start_datetime%year"] == 1982
+    assert nl["end_datetime%day"] == 10
+
+
+def test_leapfrog_filter_oracle():
+    """_step_field reproduces the literal Robert-Williams update
+    (time_stepping.f90:142-167) for both bootstrap and filtered steps."""
+    from speedy_tpu.models.time_stepping import _step_field
+    from speedy_tpu.geometry import build_geometry_np
+    from speedy_tpu.ops import spectral as sp
+
+    cfg = t30(precision="fp64")
+    sc = sp.build_spectral(cfg, build_geometry_np(cfg))
+    rng = np.random.default_rng(0)
+    f2 = rng.normal(size=(2, cfg.mx, cfg.nx, 2))
+    fdt = rng.normal(size=(cfg.mx, cfg.nx, 2))
+    m0 = np.arange(cfg.mx)[:, None, None]
+    n0 = np.arange(cfg.nx)[None, :, None]
+    tri = ((m0 + n0) <= cfg.trunc)
+
+    for j1, eps in ((1, 0.0), (2, cfg.rob)):
+        out = np.asarray(_step_field(cfg, sc, j1, 100.0, eps,
+                                     jnp.asarray(f2), jnp.asarray(fdt)))
+        fdt_t = fdt * tri
+        fold = f2[j1 - 1]
+        fnew = f2[0] + 100.0 * fdt_t
+        e1 = fold + cfg.wil * eps * (f2[0] - 2 * fold + fnew)
+        e2 = fnew - (1 - cfg.wil) * eps * (e1 - 2 * fold + fnew)
+        np.testing.assert_allclose(out[0], e1, atol=1e-12)
+        np.testing.assert_allclose(out[1], e2, atol=1e-12)
