@@ -33,6 +33,9 @@ ALBSEA = 0.07       # mod_radcon.f90:22-24
 ALBICE = 0.60
 ALBSN = 0.60
 SSTFR = 273.2 - 1.8  # freezing-point SST (sea_model.f90:285)
+ABLCO2_REF = 6.0     # reference CO2 LW absorptivity (mod_radcon.f90 ablco2)
+DEL_CO2 = 0.005      # CO2 absorptivity trend per year (forcing.f90:66)
+IYEAR_REF = 1950     # trend reference year (forcing.f90:65)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -211,16 +214,22 @@ class DateScalars(NamedTuple):
     ozone: jnp.ndarray
     zenit: jnp.ndarray
     stratz: jnp.ndarray
+    ablco2: jnp.ndarray  # [] CO2 LW absorptivity (trend: forcing.f90:64-71)
 
 
 def make_date_scalars(cfg: ModelConfig, geom_np: dict, imont1: int,
-                      tmonth: float, tyear: float) -> DateScalars:
+                      tmonth: float, tyear: float,
+                      year: int = 0) -> DateScalars:
     """Host-side numpy leaves: device transfer happens once at the jit call
     boundary (eager per-field device puts cost ~4 ms/day, as much as the
     whole day of device compute)."""
     t = np.float64 if cfg.precision == "fp64" else np.float32
     zon = zonal_average_fields(geom_np["sia"], geom_np["coa"], tyear)
     col = lambda a: np.asarray(a, t)[:, None]
+    ablco2 = ABLCO2_REF
+    if cfg.increase_co2:
+        # linear trend of CO2 absorptivity (forcing.f90:64-71)
+        ablco2 = ABLCO2_REF * np.exp(DEL_CO2 * (year + tyear - IYEAR_REF))
     return DateScalars(
         w5=np.asarray(forin5_weights(imont1, tmonth), t),
         w2=np.asarray(forint_weights(imont1, tmonth), t),
@@ -228,6 +237,7 @@ def make_date_scalars(cfg: ModelConfig, geom_np: dict, imont1: int,
         fsol=col(zon["fsol"]), ozupp=col(zon["ozupp"]),
         ozone=col(zon["ozone"]), zenit=col(zon["zenit"]),
         stratz=col(zon["stratz"]),
+        ablco2=np.asarray(ablco2, t),
     )
 
 
@@ -282,7 +292,8 @@ def daily_update(cfg: ModelConfig, pp: PhysicsParams, lsp: LandSeaParams,
 
     return DailyForcing(
         fsol=ds.fsol, ozupp=ds.ozupp, ozone=ds.ozone, zenit=ds.zenit,
-        stratz=ds.stratz, alb_l=alb_l, alb_s=alb_s, albsfc=albsfc,
+        stratz=ds.stratz, ablco2=ds.ablco2,
+        alb_l=alb_l, alb_s=alb_s, albsfc=albsfc,
         snowc=snowc, tcorh=tcorh, qcorh=qcorh,
         stlcl_ob=stlcl, snowd_am=snowdcl, soilw_am=soilwcl,
         sstcl_ob=sstcl, sicecl_ob=sicecl, ticecl_ob=ticecl, sstan_ob=sstan)

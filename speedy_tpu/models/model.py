@@ -214,7 +214,7 @@ class Model:
         imont1, tmonth, tyear = cal.season_vars(start, cfg.iseasc,
                                                 start.month)
         ds = coupling.make_date_scalars(cfg, self.geom_np, imont1, tmonth,
-                                        tyear)
+                                        tyear, year=start.year)
         prog = rest_state(cfg, self.geom_np, self.sp_np, self.bounds)
         surf = coupling.init_surface_state(cfg, self.pp, self.lsp,
                                            self.mc.dyn.sc, self.mc.clim, ds)
@@ -256,7 +256,7 @@ class Model:
                 imont1, tmonth, tyear = cal.season_vars(d, cfg.iseasc,
                                                         start.month)
                 ds_list.append(coupling.make_date_scalars(
-                    cfg, self.geom_np, imont1, tmonth, tyear))
+                    cfg, self.geom_np, imont1, tmonth, tyear, year=d.year))
                 for _ in range(cfg.nsteps):
                     d = cal.newdate(d, cfg.nsteps)
             ds_days = jax.tree.map(lambda *xs: np.stack(xs), *ds_list)
@@ -295,7 +295,7 @@ class Model:
             imont1, tmonth, tyear = cal.season_vars(date, cfg.iseasc,
                                                     start.month)
             ds = coupling.make_date_scalars(cfg, self.geom_np, imont1,
-                                            tmonth, tyear)
+                                            tmonth, tyear, year=date.year)
             collect = output_writer is not None
             state, ys = self._run_day(self.mc, state, ds,
                                       collect_output=collect)

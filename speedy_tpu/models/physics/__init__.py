@@ -91,6 +91,7 @@ class DailyForcing(NamedTuple):
     ozone: jnp.ndarray   # [il, 1]
     zenit: jnp.ndarray   # [il, 1]
     stratz: jnp.ndarray  # [il, 1]
+    ablco2: jnp.ndarray  # [] CO2 LW absorptivity (daily trend, forcing.f90:64-71)
     alb_l: jnp.ndarray   # [il, ix]
     alb_s: jnp.ndarray   # [il, ix]
     albsfc: jnp.ndarray  # [il, ix]
@@ -203,7 +204,7 @@ def get_physical_tendencies(cfg: ModelConfig, pp: PhysicsParams,
         ssrd, ssr, tsr, dfabs_sw, tau2, stratc = shortwave.shortwave_rad_fluxes(
             fsg, dhs, daily.fsol, daily.ozupp, daily.ozone, daily.zenit,
             daily.stratz, daily.albsfc, psg, qg, icltop, cloudc, clstr,
-            qcloud)
+            qcloud, ablco2=daily.ablco2)
         rad = RadiationState(tau2=tau2, stratc=stratc,
                              tt_rsw=dfabs_sw * rps[None] * grdscp,
                              ssrd=ssrd, ssr=ssr, tsr=tsr)

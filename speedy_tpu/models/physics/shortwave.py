@@ -152,8 +152,8 @@ def clouds(qa, rh, precnv, precls, iptop, gse, fmask_l
 
 def shortwave_rad_fluxes(fsg: np.ndarray, dhs: np.ndarray,
                          fsol, ozupp, ozone, zenit, stratz, albsfc,
-                         psa, qa, icltop, cloudc, clstr, qcloud
-                         ) -> Tuple[jnp.ndarray, ...]:
+                         psa, qa, icltop, cloudc, clstr, qcloud,
+                         ablco2=ABLCO2) -> Tuple[jnp.ndarray, ...]:
     """-> (ssrd, ssr, tsr, dfabs, tau2, stratc)
     (shortwave_radiation.f90:74-234). fsol..stratz are [il,ix] (or [il,1])
     daily forcing fields; tau2 is returned holding the LONGWAVE
@@ -235,7 +235,7 @@ def shortwave_rad_fluxes(fsg: np.ndarray, dhs: np.ndarray,
     # --- LW transmissivity initialization (shortwave_radiation.f90:190-228)
     dp = psa[None] * dhs[:, None, None]
     lw1 = jnp.exp(-dp * ABLWIN)
-    lw2 = jnp.exp(-dp * ABLCO2)
+    lw2 = jnp.exp(-dp * ablco2)
     lw3 = jnp.exp(-dp * ABLWV1 * qa)
     lw4 = jnp.exp(-dp * ABLWV2 * qa)
     # stratosphere (k=1): no water vapour bands

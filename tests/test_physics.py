@@ -203,3 +203,32 @@ def test_longwave_budget(cfg, geom, wvi2):
     assert np.all(np.asarray(olr) > 50.0) and np.all(np.asarray(olr) < 500.0)
     # atmospheric LW tendencies are predominantly cooling
     assert float(np.asarray(dfabs2).mean()) < 0.0
+
+
+def test_co2_trend_wiring(cfg, geom):
+    """increase_co2 scales the band-2 LW absorptivity with the forcing.f90
+    trend: ablco2 = 6 * exp(0.005 * (year + tyear - 1950)); verify the daily
+    date scalars carry it and that tau2 band 2 responds."""
+    from speedy_tpu.models import coupling
+
+    cfg_co2 = t30(precision="fp64", increase_co2=True)
+    ds0 = coupling.make_date_scalars(cfg, geom, 1, 0.5, 0.5, year=2000)
+    assert float(ds0.ablco2) == pytest.approx(6.0)
+    ds1 = coupling.make_date_scalars(cfg_co2, geom, 1, 0.5, 0.5, year=2000)
+    expect = 6.0 * np.exp(0.005 * (2000 + 0.5 - 1950))
+    assert float(ds1.ablco2) == pytest.approx(expect, rel=1e-12)
+
+    # band 2 transmissivity must decrease when ablco2 increases
+    kx, il, ix = cfg.kx, 2, 4
+    fsg, dhs = geom["fsg"], geom["dhs"]
+    ones = jnp.ones((il, ix))
+    qa = jnp.full((kx, il, ix), 1.0)
+    args = (ones, 0.01 * ones, 0.008 * ones, ones, 0.0 * ones, 0.1 * ones,
+            ones, qa, jnp.full((il, ix), kx + 1, jnp.int32), 0.0 * ones,
+            0.0 * ones, qa[0])
+    *_, tau2_a, _ = shortwave.shortwave_rad_fluxes(fsg, dhs, *args,
+                                                   ablco2=6.0)
+    *_, tau2_b, _ = shortwave.shortwave_rad_fluxes(fsg, dhs, *args,
+                                                   ablco2=float(ds1.ablco2))
+    assert np.all(np.asarray(tau2_b[1]) < np.asarray(tau2_a[1]))
+    assert np.allclose(np.asarray(tau2_b[0]), np.asarray(tau2_a[0]))
