@@ -98,10 +98,17 @@ def t30(**kw) -> ModelConfig:
 
 
 def t85(**kw) -> ModelConfig:
-    """High-resolution stretch preset: T85, 256x128, 8 levels."""
+    """High-resolution stretch preset: T85, 256x128, 8 levels.
+
+    Runs off the T30 boundary files via bilinear regridding
+    (utils/io.regrid_latlon) when no native-resolution files are provided.
+    nsteps=96 (dt=900 s) keeps the leapfrog advectively stable at the
+    ~156 km equatorial grid spacing (the reference's 2400 s is T30-only).
+    """
     kw.setdefault("trunc", 85)
     kw.setdefault("ix", 256)
     kw.setdefault("il", 128)
+    kw.setdefault("nsteps", 96)
     return ModelConfig(**kw).validate()
 
 

@@ -81,12 +81,16 @@ def build_boundaries(cfg: ModelConfig, sp_tables: dict,
     """Read surface.nc and build the boundary constants
     (boundaries.f90:28-43)."""
     t = cfg.rdtype
-    orog = load_boundary_file("surface.nc", "orog", search=search)
+    tgt = (cfg.il, cfg.ix)
+    orog = load_boundary_file("surface.nc", "orog", search=search,
+                              target_shape=tgt)
     phi0 = GRAV * orog
     phis0 = spectral_truncation_np(cfg, sp_tables, phi0)
     phis = grid_to_spec_np(sp_tables, phis0)
-    fmask = load_boundary_file("surface.nc", "lsm", search=search)
-    alb0 = load_boundary_file("surface.nc", "alb", search=search)
+    fmask = load_boundary_file("surface.nc", "lsm", search=search,
+                               target_shape=tgt)
+    alb0 = load_boundary_file("surface.nc", "alb", search=search,
+                              target_shape=tgt)
     return Boundaries(
         fmask=jnp.asarray(fmask, t),
         phi0=jnp.asarray(phi0, t),

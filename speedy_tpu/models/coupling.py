@@ -71,6 +71,7 @@ def build_land_sea(cfg: ModelConfig, bounds_fmask: np.ndarray,
     """land_model_init + sea_model_init (land_model.f90:47-181,
     sea_model.f90:79-251). Returns (params, monthly climatology dict)."""
     il, ix = cfg.il, cfg.ix
+    tgt = (il, ix)
     thrsh = 0.1
 
     # --- masks ---
@@ -85,20 +86,22 @@ def build_land_sea(cfg: ModelConfig, bounds_fmask: np.ndarray,
 
     # --- land climatologies ---
     stl12 = np.stack([fillsf(f, 0.0) for f in
-                      load_boundary_file("land.nc", "stl", 12, search)])
+                      load_boundary_file("land.nc", "stl", 12, search, tgt)])
     stl12 = forchk(bmask_l, 0.0, 400.0, 273.0, stl12)
-    snowd12 = load_boundary_file("snow.nc", "snowd", 12, search)
+    snowd12 = load_boundary_file("snow.nc", "snowd", 12, search, tgt)
     snowd12 = forchk(bmask_l, 0.0, 20000.0, 0.0, snowd12)
 
-    veg_high = load_boundary_file("surface.nc", "vegh", search=search)
-    veg_low = load_boundary_file("surface.nc", "vegl", search=search)
+    veg_high = load_boundary_file("surface.nc", "vegh", search=search,
+                                  target_shape=tgt)
+    veg_low = load_boundary_file("surface.nc", "vegl", search=search,
+                                 target_shape=tgt)
     veg = np.maximum(0.0, veg_high + 0.8 * veg_low)
     swcap, swwil = 0.30, 0.17
     idep2 = 3
     swwil2 = idep2 * swwil
     rsw = 1.0 / (swcap + idep2 * (swcap - swwil))
-    swl1 = load_boundary_file("soil.nc", "swl1", 12, search)
-    swl2 = load_boundary_file("soil.nc", "swl2", 12, search)
+    swl1 = load_boundary_file("soil.nc", "swl1", 12, search, tgt)
+    swl2 = load_boundary_file("soil.nc", "swl2", 12, search, tgt)
     soilw12 = np.minimum(
         1.0, rsw * (swl1 + veg[None] * np.maximum(0.0, idep2 * swl2 - swwil2)))
     soilw12 = forchk(bmask_l, 0.0, 10.0, 0.0, soilw12)
@@ -106,9 +109,10 @@ def build_land_sea(cfg: ModelConfig, bounds_fmask: np.ndarray,
     # --- sea climatologies ---
     sst12 = np.stack([fillsf(f, 0.0) for f in
                       load_boundary_file("sea_surface_temperature.nc", "sst",
-                                         12, search)])
+                                         12, search, tgt)])
     sst12 = forchk(bmask_s, 100.0, 400.0, 273.0, sst12)
-    sice12 = np.maximum(load_boundary_file("sea_ice.nc", "icec", 12, search),
+    sice12 = np.maximum(load_boundary_file("sea_ice.nc", "icec", 12, search,
+                                           tgt),
                         0.0)
     sice12 = forchk(bmask_s, 0.0, 1.0, 0.0, sice12)
 
@@ -167,7 +171,8 @@ def _read_anomaly_month(cfg: ModelConfig, bmask_s: np.ndarray,
         import warnings
         warnings.warn(f"{ANOMALY_FILE} not found; SST anomaly set to zero")
         return np.zeros_like(bmask_s)
-    data = load_boundary_file(ANOMALY_FILE, "ssta", ANOMALY_MONTHS, search)
+    data = load_boundary_file(ANOMALY_FILE, "ssta", ANOMALY_MONTHS, search,
+                              bmask_s.shape)
     idx = int(np.clip(month_1b - 1, 0, ANOMALY_MONTHS - 1))
     return forchk(bmask_s, -50.0, 50.0, 0.0, data[idx])
 

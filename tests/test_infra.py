@@ -109,3 +109,59 @@ def test_leapfrog_filter_oracle():
         e2 = fnew - (1 - cfg.wil) * eps * (e1 - 2 * fold + fnew)
         np.testing.assert_allclose(out[0], e1, atol=1e-12)
         np.testing.assert_allclose(out[1], e2, atol=1e-12)
+
+
+def test_regrid_latlon():
+    """Bilinear boundary regrid: identity at same resolution, constant
+    preservation, and fill-value exclusion (fills must never blend into
+    valid points)."""
+    import numpy as np
+    from speedy_tpu.utils.io import regrid_latlon
+
+    rng = np.random.default_rng(0)
+    f = rng.normal(size=(48, 96))
+    assert regrid_latlon(f, 48, 96) is f
+
+    const = np.full((48, 96), 3.25)
+    out = regrid_latlon(const, 128, 256)
+    assert out.shape == (128, 256)
+    assert np.allclose(out, 3.25)
+
+    # a smooth field regrids with small error
+    lat = np.linspace(-np.pi / 2, np.pi / 2, 48)
+    lon = np.linspace(0, 2 * np.pi, 96, endpoint=False)
+    smooth = np.sin(lat)[:, None] * np.cos(lon)[None, :]
+    out = regrid_latlon(smooth, 128, 256)
+    lat2 = np.linspace(-np.pi / 2, np.pi / 2, 128)
+    lon2 = np.linspace(0, 2 * np.pi, 256, endpoint=False)
+    # compare against the analytic field away from the poles
+    ref = np.sin(np.arcsin(np.clip(np.sin(lat2), -1, 1)))[:, None] \
+        * np.cos(lon2)[None, :]
+    assert np.abs(out[10:-10] - ref[10:-10]).max() < 0.15
+
+    # fill values: half the field is the NetCDF default fill
+    filled = np.full((48, 96), 9.96921e36)
+    filled[:, :48] = 280.0
+    out = regrid_latlon(filled, 128, 256)
+    valid = np.abs(out) < 1e30
+    assert np.allclose(out[valid], 280.0)
+    # no partially-blended garbage between 280 and 1e36
+    assert not np.any((np.abs(out) > 1e3) & (np.abs(out) < 1e30))
+
+
+def test_t85_model_builds():
+    """The T85 preset builds its full constant set off the regridded T30
+    boundary files (new capability; the reference needs native files)."""
+    import numpy as np
+    from speedy_tpu.config import t85
+    from speedy_tpu.models.model import Model
+
+    cfg = t85(precision="fp64")
+    assert cfg.nsteps == 96 and cfg.delt == 900.0
+    m = Model(cfg)
+    clim = m.mc.clim
+    assert np.asarray(clim.sst12).shape == (12, 128, 256)
+    # regridded climatologies carry no fill values
+    for name in ("stl12", "sst12", "snowd12", "soilw12", "sice12"):
+        a = np.asarray(getattr(clim, name))
+        assert np.all(np.isfinite(a)) and np.abs(a).max() < 1e5, name
