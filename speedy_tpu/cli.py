@@ -58,8 +58,64 @@ def main(argv=None):
     r.add_argument("--no-output", action="store_true")
     r.add_argument("--bc-path", help="boundary-condition directory")
     r.add_argument("--profile", help="dump a jax profiler trace to this dir")
+    r.add_argument("--checkpoint-every", type=int, default=0, metavar="DAYS",
+                   help="write a restart checkpoint every DAYS days")
+    r.add_argument("--checkpoint-dir", default="checkpoints")
+    r.add_argument("--restart-from", metavar="CKPT.npz",
+                   help="resume a run from a checkpoint file")
+
+    e = sub.add_parser("ensemble", help="run an SPPT ensemble forecast")
+    e.add_argument("--preset", default="t30", choices=["t30", "t85"])
+    e.add_argument("--members", type=int, default=8)
+    e.add_argument("--days", type=int, default=2)
+    e.add_argument("--start", type=_dt, default=Datetime(1982, 1, 1))
+    e.add_argument("--seed", type=int, default=0)
+    e.add_argument("--precision", default="fp32", choices=["fp32", "fp64"])
+    e.add_argument("--bc-path", help="boundary-condition directory")
+    e.add_argument("--output-dir", default="rundir_ens",
+                   help="per-member final-state NetCDF output directory")
+    e.add_argument("--no-output", action="store_true")
 
     args = p.parse_args(argv)
+
+    if args.command == "ensemble":
+        import jax
+        if args.precision == "fp64":
+            jax.config.update("jax_enable_x64", True)
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.expanduser("~/.cache/speedy_tpu_xla"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        import numpy as np
+        from .models.model import Model
+        from .parallel.ensemble import Ensemble
+        from .parallel.mesh import make_mesh
+
+        cfg = from_preset(args.preset, precision=args.precision, sppt_on=True)
+        search = [args.bc_path] if args.bc_path else None
+        model = Model(cfg, bc_search=search)
+        n_dev = len(jax.devices())
+        mesh = make_mesh(n_dev, 1) if n_dev > 1 and \
+            args.members % n_dev == 0 else None
+        ens = Ensemble(model, args.members, base_seed=args.seed, mesh=mesh)
+        print(f"speedy_tpu ensemble: {args.members} members, "
+              f"{args.days} days, {args.preset.upper()}"
+              + (f", {n_dev}-device dp mesh" if mesh else ""))
+        t0 = time.time()
+        estate = ens.initialize(args.start)
+        estate, end_date = ens.run_days(estate, args.start, args.days)
+        jax.block_until_ready(estate.prog.vor)
+        print(f"done at {end_date} in {time.time() - t0:.1f}s")
+        if not args.no_output:
+            from .utils.output import NetCDFWriter
+            for i in range(args.members):
+                w = NetCDFWriter(cfg, os.path.join(args.output_dir,
+                                                   f"member{i:03d}"))
+                fields = {k: np.asarray(v) for k, v in
+                          ens.member_fields(estate, i).items()}
+                w(args.days * cfg.nsteps, end_date, args.start, fields)
+            print(f"wrote member states to {args.output_dir}/")
+        return 0
 
     if args.command == "run":
         kw = dict(nsteps_out=args.nsteps_out, nstdia=args.nstdia,
@@ -110,8 +166,19 @@ def main(argv=None):
         if args.profile:
             import jax
             jax.profiler.start_trace(args.profile)
+        run_kw = dict(checkpoint_every=args.checkpoint_every,
+                      checkpoint_dir=args.checkpoint_dir)
+        if args.restart_from:
+            from .utils.checkpoint import load_checkpoint
+            template = model.initialize(start)
+            state, ck_date, model_step = load_checkpoint(args.restart_from,
+                                                         template)
+            print(f"resuming from {args.restart_from} at {ck_date} "
+                  f"(step {model_step})")
+            run_kw.update(state=state, resume_date=ck_date,
+                          model_step=model_step)
         t0 = time.time()
-        model.run(start, end, output_writer=writer)
+        model.run(start, end, output_writer=writer, **run_kw)
         if writer is not None and hasattr(writer, "drain"):
             writer.drain()
         wall = time.time() - t0

@@ -273,15 +273,31 @@ class Model:
         return state
 
     def run(self, start: cal.Datetime, end: cal.Datetime,
-            output_writer=None, verbose: bool = True) -> ModelState:
-        """Main loop (speedy.f90:27-54), day-chunked."""
+            output_writer=None, verbose: bool = True,
+            state: Optional[ModelState] = None,
+            resume_date: Optional[cal.Datetime] = None,
+            model_step: int = 0,
+            checkpoint_every: int = 0,
+            checkpoint_dir: Optional[str] = None) -> ModelState:
+        """Main loop (speedy.f90:27-54), day-chunked.
+
+        ``state``/``resume_date``/``model_step`` resume from a checkpoint
+        (utils.checkpoint); ``checkpoint_every`` > 0 writes a checkpoint
+        every that many days into ``checkpoint_dir``.
+        """
         cfg = self.cfg
-        state = self.initialize(start)
-        date = start
-        if output_writer is not None:
+        if state is None:
+            state = self.initialize(start)
+            date = start
+        else:
+            date = resume_date if resume_date is not None else start
+        if output_writer is not None and model_step == 0:
             output_writer(0, date, start, jax.tree.map(
                 np.asarray, self._gridded(self.mc, state.prog)))
-        model_step = 0
+        if checkpoint_every and checkpoint_dir:
+            import os
+            os.makedirs(checkpoint_dir, exist_ok=True)
+        day_count = 0
         while date != end:
             if cfg.sst_anomaly_forcing and date.day == 1 and model_step > 0:
                 # monthly advance of the anomaly window (obs_ssta,
@@ -314,4 +330,13 @@ class Model:
                     output_writer(model_step, date, start, fields)
                 if date == end:
                     break
+            day_count += 1
+            if checkpoint_every and checkpoint_dir and \
+                    day_count % checkpoint_every == 0:
+                from ..utils.checkpoint import save_checkpoint
+                import os
+                name = (f"ckpt_{date.year:04d}{date.month:02d}"
+                        f"{date.day:02d}{date.hour:02d}{date.minute:02d}.npz")
+                save_checkpoint(os.path.join(checkpoint_dir, name), state,
+                                date, model_step)
         return state

@@ -165,3 +165,31 @@ def test_t85_model_builds():
     for name in ("stl12", "sst12", "snowd12", "soilw12", "sice12"):
         a = np.asarray(getattr(clim, name))
         assert np.all(np.isfinite(a)) and np.abs(a).max() < 1e5, name
+
+
+def test_cli_namelist_parsing(tmp_path):
+    """The CLI accepts the reference's namelist.nml format verbatim
+    (params.f90:54-68, date.f90:57-71)."""
+    from speedy_tpu.cli import parse_namelist
+
+    nml = tmp_path / "namelist.nml"
+    nml.write_text("""\
+&params
+nsteps_out = 2,
+nstdia = 180
+/
+
+&date
+start_datetime%year = 1982,
+start_datetime%month = 1,
+start_datetime%day = 1,
+end_datetime%year = 1982,
+end_datetime%month = 1,
+end_datetime%day = 10,
+/
+""")
+    nl = parse_namelist(str(nml))
+    assert nl["nsteps_out"] == 2
+    assert nl["nstdia"] == 180
+    assert nl["start_datetime%year"] == 1982
+    assert nl["end_datetime%day"] == 10
