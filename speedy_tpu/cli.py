@@ -53,6 +53,10 @@ def main(argv=None):
     r.add_argument("--nsteps-out", type=int, default=1)
     r.add_argument("--nstdia", type=int, default=180)
     r.add_argument("--precision", default="fp32", choices=["fp32", "fp64"])
+    r.add_argument("--matmul-precision", default=None,
+                   choices=["bfloat16", "tensorfloat32", "float32", "highest"],
+                   help="XLA matmul precision for fp32 runs (default: "
+                        "backend default, bf16 multiplies on TPU)")
     r.add_argument("--sppt", action="store_true", help="enable SPPT")
     r.add_argument("--sppt-seed", type=int, default=0)
     r.add_argument("--no-output", action="store_true")
@@ -138,6 +142,9 @@ def main(argv=None):
         import jax
         if args.precision == "fp64":
             jax.config.update("jax_enable_x64", True)
+        if args.matmul_precision:
+            jax.config.update("jax_default_matmul_precision",
+                              args.matmul_precision)
         # persistent compilation cache: repeat runs skip the TPU compile
         jax.config.update(
             "jax_compilation_cache_dir",
