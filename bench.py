@@ -47,18 +47,22 @@ def main():
         for _ in range(cfg.nsteps):
             date = cal.newdate(date, cfg.nsteps)
 
-    # compile + warm up (one-day program; throughput matches the multi-day
-    # device scan to within a few percent, and compiles much faster)
-    state, _ = model._run_day(model.mc, state, ds_list[0],
-                              collect_output=False)
-    jax.block_until_ready(state.prog.vor)
+    # the whole span runs as ONE on-device lax.scan over days: a single
+    # dispatch, so the measurement reflects device throughput rather than
+    # host dispatch latency (the host can be heavily contended in CI)
+    import numpy as np
+    ds_days = jax.tree.map(lambda *xs: np.stack(xs), *ds_list)
+
+    # compile + warm up
+    state_w, _ = model._run_span(model.mc, state, ds_days)
+    jax.block_until_ready(state_w.prog.vor)
 
     # timed: full physics + coupling + daily forcing
     t0 = time.time()
-    for ds in ds_list:
-        state, _ = model._run_day(model.mc, state, ds, collect_output=False)
+    state, guard = model._run_span(model.mc, state, ds_days)
     jax.block_until_ready(state.prog.vor)
     wall = time.time() - t0
+    assert bool(jax.numpy.all(jax.numpy.isfinite(state.prog.vor)))
 
     days_per_min = n_days / wall * 60.0
     print(json.dumps({

@@ -76,6 +76,7 @@ def main():
     points = cfg.ix * cfg.il * cfg.kx * cfg.nsteps * E  # point-steps per day
 
     base = None
+    base_n = None
     for n in [int(c) for c in args.counts.split(",")]:
         if n > len(jax.devices()):
             break
@@ -84,6 +85,8 @@ def main():
         else:
             n_dp, n_sp = 1, n
         if E % n_dp:
+            print(json.dumps({"skipped_devices": n,
+                              "reason": f"members {E} % dp {n_dp} != 0"}))
             continue
         mesh = make_mesh(n_dp, n_sp, jax.devices()[:n])
         sh = ensemble_state_sharding(mesh, estate)
@@ -102,14 +105,17 @@ def main():
         dt = (time.time() - t0) / args.reps
         thr = points / dt
         if base is None:
-            base = thr
-        eff = thr / (base * n)
+            base, base_n = thr, n
+        # efficiency relative to the first measured count (per-device
+        # throughput ratio); only equals "vs 1 device" when counts starts at 1
+        eff = (thr / n) / (base / base_n)
         print(json.dumps({
             "metric": f"scaling_{args.mode}_{args.preset}",
             "devices": n, "members": E,
             "point_steps_per_s": round(thr, 0),
             "day_seconds": round(dt, 3),
-            "efficiency_vs_1dev": round(eff, 3)}))
+            "base_devices": base_n,
+            "efficiency_vs_first": round(eff, 3)}))
 
 
 if __name__ == "__main__":

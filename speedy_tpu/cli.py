@@ -67,6 +67,11 @@ def main(argv=None):
     r.add_argument("--checkpoint-dir", default="checkpoints")
     r.add_argument("--restart-from", metavar="CKPT.npz",
                    help="resume a run from a checkpoint file")
+    r.add_argument("--auto-resume", action="store_true",
+                   help="elastic recovery: resume from the newest checkpoint "
+                        "in --checkpoint-dir if one exists (use with "
+                        "--checkpoint-every so a crashed/preempted run "
+                        "re-launched with the same command line continues)")
 
     e = sub.add_parser("ensemble", help="run an SPPT ensemble forecast")
     e.add_argument("--preset", default="t30", choices=["t30", "t85"])
@@ -175,11 +180,32 @@ def main(argv=None):
             jax.profiler.start_trace(args.profile)
         run_kw = dict(checkpoint_every=args.checkpoint_every,
                       checkpoint_dir=args.checkpoint_dir)
+        if args.auto_resume and not args.restart_from:
+            import glob
+            cks = sorted(glob.glob(os.path.join(args.checkpoint_dir,
+                                                "ckpt_*.npz")))
+            if cks:
+                args.restart_from = cks[-1]  # names sort chronologically
+            else:
+                print(f"auto-resume: no checkpoints in "
+                      f"{args.checkpoint_dir}, starting fresh")
         if args.restart_from:
             from .utils.checkpoint import load_checkpoint
             template = model.initialize(start)
-            state, ck_date, model_step = load_checkpoint(args.restart_from,
-                                                         template)
+            state, ck_date, model_step, extras = load_checkpoint(
+                args.restart_from, template, cfg=cfg)
+            if "start" in extras and extras["start"] != start:
+                # season_vars / anomaly-window phase must use the run's
+                # original start date, not the resume invocation's --start
+                print(f"note: using original run start {extras['start']} "
+                      "from checkpoint")
+                start = extras["start"]
+            if "sstan3" in extras:
+                # restore the host-side SST-anomaly window (it lives in
+                # ModelConsts, outside the checkpointed ModelState)
+                import jax.numpy as jnp
+                model.mc = model.mc._replace(clim=model.mc.clim._replace(
+                    sstan3=jnp.asarray(extras["sstan3"], cfg.rdtype)))
             print(f"resuming from {args.restart_from} at {ck_date} "
                   f"(step {model_step})")
             run_kw.update(state=state, resume_date=ck_date,

@@ -291,6 +291,9 @@ class Model:
             date = start
         else:
             date = resume_date if resume_date is not None else start
+        if not date < end:
+            raise ValueError(
+                f"run start/resume date {date} is not before end {end}")
         if output_writer is not None and model_step == 0:
             output_writer(0, date, start, jax.tree.map(
                 np.asarray, self._gridded(self.mc, state.prog)))
@@ -298,7 +301,7 @@ class Model:
             import os
             os.makedirs(checkpoint_dir, exist_ok=True)
         day_count = 0
-        while date != end:
+        while date < end:
             if cfg.sst_anomaly_forcing and date.day == 1 and model_step > 0:
                 # monthly advance of the anomaly window (obs_ssta,
                 # sea_model.f90:366-384; triggered from couple_sea_atm:273)
@@ -328,7 +331,7 @@ class Model:
                         model_step % cfg.nsteps_out == 0:
                     fields = {k: np.asarray(v[i]) for k, v in grids.items()}
                     output_writer(model_step, date, start, fields)
-                if date == end:
+                if not date < end:
                     break
             day_count += 1
             if checkpoint_every and checkpoint_dir and \
@@ -338,5 +341,7 @@ class Model:
                 name = (f"ckpt_{date.year:04d}{date.month:02d}"
                         f"{date.day:02d}{date.hour:02d}{date.minute:02d}.npz")
                 save_checkpoint(os.path.join(checkpoint_dir, name), state,
-                                date, model_step)
+                                date, model_step, start=start,
+                                sstan3=np.asarray(self.mc.clim.sstan3),
+                                cfg=cfg)
         return state

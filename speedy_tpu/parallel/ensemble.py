@@ -71,7 +71,7 @@ class Ensemble:
             imont1, tmonth, tyear = cal.season_vars(date, cfg.iseasc,
                                                     start.month)
             ds = coupling.make_date_scalars(cfg, model.geom_np, imont1,
-                                            tmonth, tyear)
+                                            tmonth, tyear, year=date.year)
             estate, _ = self._run_jit(model.mc, estate, ds,
                                       collect_output=False)
             for _ in range(cfg.nsteps):

@@ -20,6 +20,24 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> int:
+    """Multi-host (DCN) initialization: call once per host process before any
+    other JAX API. After this, jax.devices() is the GLOBAL device list, so
+    make_mesh() below builds a multi-host mesh and pjit's collectives ride
+    ICI within a slice and DCN across hosts (SURVEY section 5.8).
+
+    Arguments mirror jax.distributed.initialize and fall back to its
+    cluster-environment auto-detection (TPU pods set them automatically).
+    Returns the process index.
+    """
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return jax.process_index()
+
+
 def make_mesh(n_ensemble: int = 1, n_spatial: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())

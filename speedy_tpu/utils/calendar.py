@@ -25,9 +25,17 @@ class Datetime:
     hour: int = 0
     minute: int = 0
 
+    def key(self):
+        return (self.year, self.month, self.day, self.hour, self.minute)
+
     def __eq__(self, other):
-        return (self.year, self.month, self.day, self.hour, self.minute) == \
-            (other.year, other.month, other.day, other.hour, other.minute)
+        return self.key() == other.key()
+
+    def __lt__(self, other):
+        return self.key() < other.key()
+
+    def __le__(self, other):
+        return self.key() <= other.key()
 
 
 def newdate(d: Datetime, nsteps: int) -> Datetime:

@@ -232,3 +232,36 @@ def test_co2_trend_wiring(cfg, geom):
                                                    ablco2=float(ds1.ablco2))
     assert np.all(np.asarray(tau2_b[1]) < np.asarray(tau2_a[1]))
     assert np.allclose(np.asarray(tau2_b[0]), np.asarray(tau2_a[0]))
+
+
+def test_co2_trend_wiring_ensemble(monkeypatch):
+    """Ensemble.run_days must pass the calendar year into the daily date
+    scalars; with increase_co2 the trend would otherwise collapse to
+    ablco2 = 6*exp(0.005*(0 + tyear - 1950)) ~ 3.5e-4, an effectively
+    transparent CO2 band (ADVICE round 1)."""
+    from speedy_tpu.models import coupling
+    from speedy_tpu.models.model import Model
+    from speedy_tpu.parallel.ensemble import Ensemble
+    from speedy_tpu.utils import calendar as cal
+
+    cfg_co2 = t30(precision="fp32", increase_co2=True, sppt_on=True)
+    model = Model(cfg_co2)
+    ens = Ensemble(model, n_members=2)
+
+    captured = {}
+    real = coupling.make_date_scalars
+
+    class _Stop(Exception):
+        pass
+
+    def spy(*a, **kw):
+        ds = real(*a, **kw)
+        captured["ablco2"] = float(ds.ablco2)
+        raise _Stop  # skip the (expensive) jitted day itself
+
+    monkeypatch.setattr(coupling, "make_date_scalars", spy)
+    with pytest.raises(_Stop):
+        ens.run_days(None, cal.Datetime(1982, 1, 1), 1)
+    expect = 6.0 * np.exp(0.005 * (1982 + cal.season_vars(
+        cal.Datetime(1982, 1, 1))[2] - 1950))
+    assert captured["ablco2"] == pytest.approx(expect, rel=1e-6)

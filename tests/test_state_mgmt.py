@@ -38,11 +38,50 @@ def ds32(model32):
 def test_checkpoint_roundtrip(tmp_path, model32, state32):
     path = str(tmp_path / "ckpt.npz")
     date = cal.Datetime(1982, 1, 5, 12, 0)
-    save_checkpoint(path, state32, date, model_step=162)
-    restored, rdate, rstep = load_checkpoint(path, state32)
+    start = cal.Datetime(1982, 1, 1)
+    sstan3 = np.asarray(model32.mc.clim.sstan3)
+    save_checkpoint(path, state32, date, model_step=162, start=start,
+                    sstan3=sstan3, cfg=model32.cfg)
+    restored, rdate, rstep, extras = load_checkpoint(path, state32,
+                                                     cfg=model32.cfg)
     assert rdate == date and rstep == 162
+    assert extras["start"] == start
+    np.testing.assert_array_equal(extras["sstan3"], sstan3)
     for a, b in zip(jax.tree.leaves(state32), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_config_mismatch_raises(tmp_path, model32, state32):
+    """Resuming under a different physics config must fail loudly instead of
+    silently continuing a different model (ADVICE round 1)."""
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, state32, cal.Datetime(1982, 1, 2),
+                    cfg=model32.cfg)
+    bad = t30(precision="fp32", increase_co2=True)
+    with pytest.raises(ValueError, match="config mismatch"):
+        load_checkpoint(path, state32, cfg=bad)
+
+
+def test_checkpoint_sppt_state_not_silently_dropped(tmp_path):
+    """A checkpoint saved with SPPT on must refuse to load into a template
+    without the SPPT leaves (ADVICE round 1: template sppt=None used to
+    silently drop the AR(1) state)."""
+    cfg = t30(precision="fp32", sppt_on=True)
+    m = Model(cfg)
+    st = m.initialize(cal.Datetime(1982, 1, 1))
+    path = str(tmp_path / "sppt_ck.npz")
+    save_checkpoint(path, st, cal.Datetime(1982, 1, 1), cfg=cfg)
+    template = st._replace(sppt=None)  # what --sppt-less resume builds
+    with pytest.raises(ValueError, match="drop"):
+        load_checkpoint(path, template)
+
+
+def test_run_resume_past_end_raises(model32, state32):
+    """Resume at/after --end must error, not loop forever (ADVICE round 1)."""
+    with pytest.raises(ValueError, match="not before end"):
+        model32.run(cal.Datetime(1982, 1, 1), cal.Datetime(1982, 1, 2),
+                    state=state32, resume_date=cal.Datetime(1982, 1, 3),
+                    verbose=False)
 
 
 def test_checkpoint_resume_continues_identically(model32, state32, ds32,
@@ -55,7 +94,7 @@ def test_checkpoint_resume_continues_identically(model32, state32, ds32,
 
     path = str(tmp_path / "ck.npz")
     save_checkpoint(path, state32, cal.Datetime(1982, 1, 1))
-    restored, _, _ = load_checkpoint(path, state32)
+    restored, _, _, _ = load_checkpoint(path, state32)
     s2, _ = m._run_day(m.mc, restored, ds32, collect_output=False)
     for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
