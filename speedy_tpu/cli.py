@@ -62,6 +62,10 @@ def main(argv=None):
     r.add_argument("--no-output", action="store_true")
     r.add_argument("--bc-path", help="boundary-condition directory")
     r.add_argument("--profile", help="dump a jax profiler trace to this dir")
+    r.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans: raise at the first NaN-"
+                        "producing op instead of tripping the stability "
+                        "guard later (slower; debugging aid)")
     r.add_argument("--checkpoint-every", type=int, default=0, metavar="DAYS",
                    help="write a restart checkpoint every DAYS days")
     r.add_argument("--checkpoint-dir", default="checkpoints")
@@ -147,6 +151,8 @@ def main(argv=None):
         import jax
         if args.precision == "fp64":
             jax.config.update("jax_enable_x64", True)
+        if args.debug_nans:
+            jax.config.update("jax_debug_nans", True)
         if args.matmul_precision:
             jax.config.update("jax_default_matmul_precision",
                               args.matmul_precision)

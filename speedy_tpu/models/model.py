@@ -69,10 +69,10 @@ def _make_step_fns(cfg: ModelConfig, pp, lsp):
 
     def make_physics_fn(mc: ModelConsts, daily, mstate: ModelState,
                         compute_sw: bool):
-        def physics_fn(prog: PrognosticState, phi_spec):
+        def physics_fn(pg):
             return get_physical_tendencies(
                 cfg, pp, mc.dyn.sc, daily, mstate.surf, mstate.rad,
-                mstate.sppt, compute_sw, prog, phi_spec)
+                mstate.sppt, compute_sw, pg)
         return physics_fn
 
     def one_step(mc: ModelConsts, state: ModelState, daily,

@@ -146,33 +146,26 @@ def get_physical_tendencies(cfg: ModelConfig, pp: PhysicsParams,
                             sc: sp.SpectralConsts, daily: DailyForcing,
                             surf: SurfaceState, rad: RadiationState,
                             sppt_state: Optional[SpptState],
-                            compute_sw: bool, state: PrognosticState,
-                            phi_spec: jnp.ndarray
+                            compute_sw: bool, pg
                             ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
                                        jnp.ndarray, PhysicsAux]:
     """Physics tendencies at time level 0 (physics.f90:43-223).
 
-    Returns grid-point tendency increments (utend, vtend, ttend, qtend) to be
-    added to the dynamics tendencies, plus PhysicsAux. ``compute_sw`` is a
-    static Python bool (shortwave cadence, speedy.f90:35).
+    ``pg`` is a tendencies.PhysicsGridState: the level-0 grid synthesis,
+    computed inside the dynamics transform batches (the reference runs a
+    second transform sweep here, physics.f90:95-104; merging the sweeps
+    halves the per-step einsum-chain count). Returns grid-point tendency
+    increments (utend, vtend, ttend, qtend) to be added to the dynamics
+    tendencies, plus PhysicsAux. ``compute_sw`` is a static Python bool
+    (shortwave cadence, speedy.f90:35).
     """
     kx = cfg.kx
     fsg, dhs, sigh = pp.fsg, pp.dhs, pp.sigh
     grdsig = pp.grdsig[:, None, None]
     grdscp = pp.grdscp[:, None, None]
 
-    # --- grid-point fields, all transforms batched (physics.f90:95-104) ---
-    vor_s, div_s = state.vor[0], state.div[0]
-    ucos, vcos = sp.uvspec(sc, vor_s, div_s)
-    wind_g = sp.spec_to_grid(sc, jnp.concatenate([ucos, vcos], axis=0),
-                             scale_by_inv_cos=True)
-    ug, vg = wind_g[:kx], wind_g[kx:]
-    scal = jnp.concatenate(
-        [state.t[0], state.tr[0, 0], phi_spec, state.ps[0][None]], axis=0)
-    scal_g = sp.spec_to_grid(sc, scal)
-    tg, qg, phig = scal_g[:kx], scal_g[kx:2 * kx], scal_g[2 * kx:3 * kx]
-    pslg = scal_g[3 * kx]
-
+    ug, vg, tg, qg, phig, pslg = (pg.ug, pg.vg, pg.tg, pg.qg, pg.phig,
+                                  pg.pslg)
     psg = jnp.exp(pslg)
     rps = 1.0 / psg
     qg = jnp.maximum(qg, 0.0)

@@ -41,11 +41,25 @@ class GridState(NamedTuple):
     vg: jnp.ndarray    # true meridional wind v
 
 
-# Type of the physics hook: takes (state, phi_spectral) at the physics time
+class PhysicsGridState(NamedTuple):
+    """Level-0 (physics time level) grid-point synthesis. The transforms are
+    merged into the dynamics synthesis batches (one einsum chain synthesizes
+    both time levels), so physics receives ready grid fields instead of
+    spectral state — vs the reference's second transform sweep
+    (physics.f90:95-104)."""
+    ug: jnp.ndarray    # [kx, il, ix] true zonal wind
+    vg: jnp.ndarray
+    tg: jnp.ndarray
+    qg: jnp.ndarray    # specific humidity (unclamped; physics clamps >= 0)
+    phig: jnp.ndarray  # geopotential
+    pslg: jnp.ndarray  # [il, ix] log surface pressure
+
+
+# Type of the physics hook: takes a PhysicsGridState at the physics time
 # level and returns grid-point tendency increments (utend, vtend, ttend,
 # trtend) plus an updated auxiliary pytree. Wired in by the physics package;
 # None = adiabatic core.
-PhysicsFn = Callable[..., Tuple]
+PhysicsFn = Callable[[PhysicsGridState], Tuple]
 
 
 def _half_level_advection(shd: jnp.ndarray, f: jnp.ndarray) -> jnp.ndarray:
@@ -57,36 +71,62 @@ def _half_level_advection(shd: jnp.ndarray, f: jnp.ndarray) -> jnp.ndarray:
 
 
 def grid_dynamics_tendencies(cfg: ModelConfig, dyn: DynConsts, ic: ImplicitConsts,
-                             state: PrognosticState, j2: int
+                             state: PrognosticState, j2: int,
+                             phi0_spec: Optional[jnp.ndarray] = None
                              ) -> Tuple[jnp.ndarray, ...]:
     """Nonlinear grid-point dynamics tendencies (tendencies.f90:49-197).
 
-    Returns (gs, psdt, utend, vtend, ttend, trtend, tgg) where gs is the
-    GridState at level j2; the *tend arrays are grid-point tendencies that
-    physics increments before the spectral conversion.
+    Returns (gs, pg, psdt_g, utend, vtend, ttend, trtend, tgg) where gs is
+    the GridState at level j2, pg is the PhysicsGridState at level 0 (or
+    None when ``phi0_spec`` is None, i.e. the adiabatic core), psdt_g the
+    grid-point log-ps tendency (transformed to spectral later, batched with
+    the other forward transforms), and the *tend arrays are grid-point
+    tendencies that physics increments before the spectral conversion.
+
+    The level-0 physics synthesis rides in the same two einsum chains as the
+    dynamics synthesis — batching over time levels as well as fields/levels.
     """
     sc, geom = dyn.sc, dyn.geom
     dhs = geom.dhs[:, None, None]
     dhsr = geom.dhsr[:, None, None]
     fsgr = geom.fsgr[:, None, None]
     tref = ic.tref[:, None, None]
-
-    # --- spectral -> grid, batched over every field and level at once ---
-    # (tendencies.f90:89-107: 6 transforms x 8 levels -> 2 batched calls)
-    vor_s, div_s = state.vor[j2], state.div[j2]
-    plain = jnp.concatenate([vor_s, div_s, state.t[j2],
-                             state.tr[j2].reshape((-1,) + vor_s.shape[1:])], axis=0)
-    plain_g = sp.spec_to_grid(sc, plain)
     kx, ntr = cfg.kx, cfg.ntr
-    vorg, divg, tg = plain_g[:kx], plain_g[kx:2 * kx], plain_g[2 * kx:3 * kx]
-    trg = plain_g[3 * kx:].reshape((ntr, kx) + plain_g.shape[1:])
+    with_phys = phi0_spec is not None
 
-    ucos, vcos = sp.uvspec(sc, vor_s, div_s)
+    # --- spectral -> grid, batched over every field, level AND time level
+    # at once (tendencies.f90:89-107 + physics.f90:95-104 merged) ---
+    vor_s, div_s = state.vor[j2], state.div[j2]
+    plain_fields = [vor_s, div_s, state.t[j2],
+                    state.tr[j2].reshape((-1,) + vor_s.shape[1:])]
+    if with_phys:
+        plain_fields += [state.t[0], state.tr[0, 0], phi0_spec,
+                         state.ps[0][None]]
+    plain_g = sp.spec_to_grid(sc, jnp.concatenate(plain_fields, axis=0))
+    vorg, divg, tg = plain_g[:kx], plain_g[kx:2 * kx], plain_g[2 * kx:3 * kx]
+    base = (3 + ntr) * kx
+    trg = plain_g[3 * kx:base].reshape((ntr, kx) + plain_g.shape[1:])
+
+    if with_phys:
+        vor_uv = jnp.concatenate([vor_s, state.vor[0]], axis=0)
+        div_uv = jnp.concatenate([div_s, state.div[0]], axis=0)
+    else:
+        vor_uv, div_uv = vor_s, div_s
+    ucos, vcos = sp.uvspec(sc, vor_uv, div_uv)
     px_s, py_s = sp.grad(sc, state.ps[j2])
     wind = jnp.concatenate([ucos, vcos, px_s[None], py_s[None]], axis=0)
     wind_g = sp.spec_to_grid(sc, wind, scale_by_inv_cos=True)
-    ug, vg = wind_g[:kx], wind_g[kx:2 * kx]
-    px, py = wind_g[2 * kx], wind_g[2 * kx + 1]
+    nuv = ucos.shape[0]
+    ug, vg = wind_g[:kx], wind_g[nuv:nuv + kx]
+    px, py = wind_g[2 * nuv], wind_g[2 * nuv + 1]
+
+    pg = None
+    if with_phys:
+        pg = PhysicsGridState(
+            ug=wind_g[kx:2 * kx], vg=wind_g[nuv + kx:2 * nuv],
+            tg=plain_g[base:base + kx], qg=plain_g[base + kx:base + 2 * kx],
+            phig=plain_g[base + 2 * kx:base + 3 * kx],
+            pslg=plain_g[base + 3 * kx])
 
     vorg = vorg + geom.coriol[None, :, None]
 
@@ -94,8 +134,7 @@ def grid_dynamics_tendencies(cfg: ModelConfig, dyn: DynConsts, ic: ImplicitConst
     umean = jnp.sum(ug * dhs, axis=0)
     vmean = jnp.sum(vg * dhs, axis=0)
     dmean = jnp.sum(divg * dhs, axis=0)
-    psdt = sp.grid_to_spec(sc, -umean * px - vmean * py)
-    psdt = psdt.at[0, 0].set(0.0)
+    psdt_g = -umean * px - vmean * py
 
     # --- sigma-dot vertical velocity (tendencies.f90:128-143) ---
     puv = (ug - umean) * px + (vg - vmean) * py
@@ -131,17 +170,19 @@ def grid_dynamics_tendencies(cfg: ModelConfig, dyn: DynConsts, ic: ImplicitConst
     trtend = jnp.stack([tracer_tend(trg[i]) for i in range(ntr)], axis=0)
 
     gs = GridState(vorg=vorg, divg=divg, tg=tg, trg=trg, ug=ug, vg=vg)
-    return gs, psdt, utend, vtend, ttend, trtend, tgg
+    return gs, pg, psdt_g, utend, vtend, ttend, trtend, tgg
 
 
 def grid_to_spectral_tendencies(cfg: ModelConfig, dyn: DynConsts,
                                 gs: GridState, tgg: jnp.ndarray,
+                                psdt_g: jnp.ndarray,
                                 utend, vtend, ttend, trtend
                                 ) -> Tuple[jnp.ndarray, ...]:
     """Convert grid-point tendencies to spectral (tendencies.f90:208-234).
 
     All forward transforms are batched: the u/v-type pairs go through one
     vdspec call ([1 + kx*(1+ntr)] levels per component) and the scalar fields
+    (KE, ttend, trtend, plus the log-ps tendency from the synthesis phase)
     through one grid_to_spec call.
     """
     sc = dyn.sc
@@ -158,15 +199,17 @@ def grid_to_spectral_tendencies(cfg: ModelConfig, dyn: DynConsts,
     tdt_adv = div_out[kx:2 * kx]
     trdt_adv = div_out[2 * kx:].reshape((ntr, kx) + div_out.shape[1:])
 
-    # scalar forward transforms: KE (for -lapl), ttend, trtend
+    # scalar forward transforms: KE (for -lapl), ttend, trtend, psdt
     ke = 0.5 * (gs.ug**2 + gs.vg**2)
     scal = jnp.concatenate(
-        [ke, ttend, trtend.reshape((-1,) + ttend.shape[1:])], axis=0)
+        [ke, ttend, trtend.reshape((-1,) + ttend.shape[1:]),
+         psdt_g[None]], axis=0)
     scal_s = sp.grid_to_spec(sc, scal)
     divdt = div_out[:kx] - sp.laplacian(sc, scal_s[:kx])
     tdt = tdt_adv + scal_s[kx:2 * kx]
-    trdt = trdt_adv + scal_s[2 * kx:].reshape(trdt_adv.shape)
-    return vordt, divdt, tdt, trdt
+    trdt = trdt_adv + scal_s[2 * kx:-1].reshape(trdt_adv.shape)
+    psdt = scal_s[-1].at[0, 0].set(0.0)
+    return vordt, divdt, tdt, trdt, psdt
 
 
 def spectral_tendencies(cfg: ModelConfig, dyn: DynConsts, ic: ImplicitConsts,
@@ -214,20 +257,21 @@ def get_tendencies(cfg: ModelConfig, dyn: DynConsts, ic: ImplicitConsts,
 
     Returns (vordt, divdt, tdt, psdt, trdt, physics_aux).
     """
-    gs, psdt, utend, vtend, ttend, trtend, tgg = grid_dynamics_tendencies(
-        cfg, dyn, ic, state, j2)
+    phi0 = get_geopotential(dyn.gc, state.t[0], dyn.phis) \
+        if physics_fn is not None else None
+    gs, pg, psdt_g, utend, vtend, ttend, trtend, tgg = \
+        grid_dynamics_tendencies(cfg, dyn, ic, state, j2, phi0)
 
     aux = None
     if physics_fn is not None:
-        phi = get_geopotential(dyn.gc, state.t[0], dyn.phis)
-        du, dv, dt_, dq, aux = physics_fn(state, phi)
+        du, dv, dt_, dq, aux = physics_fn(pg)
         utend = utend + du
         vtend = vtend + dv
         ttend = ttend + dt_
         trtend = trtend.at[0].add(dq)
 
-    vordt, divdt, tdt, trdt = grid_to_spectral_tendencies(
-        cfg, dyn, gs, tgg, utend, vtend, ttend, trtend)
+    vordt, divdt, tdt, trdt, psdt = grid_to_spectral_tendencies(
+        cfg, dyn, gs, tgg, psdt_g, utend, vtend, ttend, trtend)
 
     if cfg.alph < 0.5:
         divdt, tdt, psdt = spectral_tendencies(

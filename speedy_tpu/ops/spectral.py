@@ -397,7 +397,9 @@ def vdspec(sc: SpectralConsts, ug: jnp.ndarray, vg: jnp.ndarray,
     scale = sc.cosgr if half_cos_scaling else sc.cosgr2
     ug1 = ug * scale[:, None]
     vg1 = vg * scale[:, None]
-    return vds(sc, grid_to_spec(sc, ug1), grid_to_spec(sc, vg1))
+    # one analysis chain for both wind components (split after the einsums)
+    uv = grid_to_spec(sc, jnp.stack([ug1, vg1], axis=0))
+    return vds(sc, uv[0], uv[1])
 
 
 def trunct(sc: SpectralConsts, spec: jnp.ndarray) -> jnp.ndarray:

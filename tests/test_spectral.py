@@ -221,3 +221,31 @@ def test_fp32_tables_build(geom):
     s2 = sp.grid_to_spec(sc32, g)
     err = np.abs(np.asarray(s2 - s)).max() / np.abs(np.asarray(s)).max()
     assert err < 1e-2
+
+
+def test_pallas_fused_transforms_match_einsum_path(geom):
+    """The experimental fused Pallas kernels (ops/pallas_transforms.py)
+    reproduce the production einsum path — run in interpret mode so the
+    CPU CI exercises the kernel logic (the module docstring records why
+    they are not the production path on real TPUs)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from speedy_tpu.ops import pallas_transforms as pt
+
+    cfg32 = t30(precision="fp32")
+    sc32 = sp.build_spectral(cfg32, geom)
+    ft = pt.build_fused_tables(sc32)
+    rng = np.random.default_rng(3)
+    b = 6
+    spec = jnp.asarray(rng.standard_normal((b, cfg32.mx, cfg32.nx, 2)),
+                       jnp.float32)
+    grid = jnp.asarray(rng.standard_normal((b, cfg32.il, cfg32.ix)),
+                       jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        g_p = pt.fused_spec_to_grid(ft, spec, cfg32.il, cfg32.ix)
+        s_p = pt.fused_grid_to_spec(ft, grid, cfg32.mx, cfg32.nx)
+    g_ref = sp.spec_to_grid(sc32, spec)
+    s_ref = sp.grid_to_spec(sc32, grid)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_ref),
+                               rtol=1e-5, atol=1e-6)
