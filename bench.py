@@ -53,16 +53,18 @@ def main():
     import numpy as np
     ds_days = jax.tree.map(lambda *xs: np.stack(xs), *ds_list)
 
-    # compile + warm up
+    # compile + warm up (forced value readback — on the tunneled backend,
+    # block_until_ready alone does not reliably wait for execution)
     state_w, _ = model._run_span(model.mc, state, ds_days)
-    jax.block_until_ready(state_w.prog.vor)
+    assert bool(jax.numpy.all(jax.numpy.isfinite(state_w.prog.vor)))
 
-    # timed: full physics + coupling + daily forcing
+    # timed: full physics + coupling + daily forcing; the value readback
+    # inside the timed region forces real synchronization
     t0 = time.time()
     state, guard = model._run_span(model.mc, state, ds_days)
-    jax.block_until_ready(state.prog.vor)
+    finite = bool(jax.numpy.all(jax.numpy.isfinite(state.prog.vor)))
     wall = time.time() - t0
-    assert bool(jax.numpy.all(jax.numpy.isfinite(state.prog.vor)))
+    assert finite
 
     days_per_min = n_days / wall * 60.0
     print(json.dumps({

@@ -23,9 +23,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
+    from speedy_tpu.config import PRESETS
     ap = argparse.ArgumentParser()
     ap.add_argument("--days", type=int, default=365)
-    ap.add_argument("--preset", default="t30", choices=["t30", "t85"])
+    ap.add_argument("--preset", default="t30", choices=sorted(PRESETS))
     ap.add_argument("--precision", default="fp32", choices=["fp32", "fp64"])
     args = ap.parse_args()
 

@@ -10,4 +10,5 @@ ensemble vmap, and SPMD mesh sharding.
 
 __version__ = "0.1.0"
 
-from .config import ModelConfig, t30, t85, from_preset  # noqa: F401
+from .config import (ModelConfig, t30, t42, t63, t85, from_preset,  # noqa: F401
+                     PRESETS)

@@ -12,7 +12,7 @@ import re
 import sys
 import time
 
-from .config import from_preset
+from .config import from_preset, PRESETS
 from .utils.calendar import Datetime
 
 
@@ -45,7 +45,7 @@ def main(argv=None):
     sub = p.add_subparsers(dest="command", required=True)
 
     r = sub.add_parser("run", help="run a forecast")
-    r.add_argument("--preset", default="t30", choices=["t30", "t85"])
+    r.add_argument("--preset", default="t30", choices=sorted(PRESETS))
     r.add_argument("--start", type=_dt, default=Datetime(1982, 1, 1))
     r.add_argument("--end", type=_dt, default=Datetime(1982, 1, 2))
     r.add_argument("--namelist", help="reference-format namelist.nml")
@@ -78,7 +78,7 @@ def main(argv=None):
                         "re-launched with the same command line continues)")
 
     e = sub.add_parser("ensemble", help="run an SPPT ensemble forecast")
-    e.add_argument("--preset", default="t30", choices=["t30", "t85"])
+    e.add_argument("--preset", default="t30", choices=sorted(PRESETS))
     e.add_argument("--members", type=int, default=8)
     e.add_argument("--days", type=int, default=2)
     e.add_argument("--start", type=_dt, default=Datetime(1982, 1, 1))

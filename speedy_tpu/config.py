@@ -112,7 +112,27 @@ def t85(**kw) -> ModelConfig:
     return ModelConfig(**kw).validate()
 
 
-PRESETS = {"t30": t30, "t85": t85}
+def t42(**kw) -> ModelConfig:
+    """Intermediate preset: T42, 128x64, 8 levels (dt=1200 s).
+
+    Boundary files are regridded from the T30 set like the t85 preset."""
+    kw.setdefault("trunc", 42)
+    kw.setdefault("ix", 128)
+    kw.setdefault("il", 64)
+    kw.setdefault("nsteps", 72)
+    return ModelConfig(**kw).validate()
+
+
+def t63(**kw) -> ModelConfig:
+    """Intermediate preset: T63, 192x96, 8 levels (dt=960 s)."""
+    kw.setdefault("trunc", 63)
+    kw.setdefault("ix", 192)
+    kw.setdefault("il", 96)
+    kw.setdefault("nsteps", 90)
+    return ModelConfig(**kw).validate()
+
+
+PRESETS = {"t30": t30, "t42": t42, "t63": t63, "t85": t85}
 
 
 def from_preset(name: str, **kw) -> ModelConfig:

@@ -167,6 +167,39 @@ def test_t85_model_builds():
         assert np.all(np.isfinite(a)) and np.abs(a).max() < 1e5, name
 
 
+def test_intermediate_presets_build():
+    """T42/T63 presets: constants build off regridded boundary files and the
+    spectral transform pair round-trips band-limited fields (the whole model
+    is resolution-parametric; reference needs a recompile, params.f90:19-27)."""
+    import numpy as np
+    from speedy_tpu.config import from_preset
+    from speedy_tpu.geometry import build_geometry_np
+    from speedy_tpu.ops import spectral as sp
+    from speedy_tpu.models.model import Model
+
+    for name in ("t42", "t63"):
+        cfg = from_preset(name, precision="fp64")
+        assert cfg.ix >= 2 * cfg.mx
+        geom = build_geometry_np(cfg)
+        sc = sp.build_spectral(cfg, geom)
+        rng = np.random.default_rng(3)
+        spec = rng.normal(size=(cfg.mx, cfg.nx, 2))
+        spec[0, :, 1] = 0.0  # m=0 imaginary part is identically zero
+        # band-limit to the triangular truncation both directions keep
+        spec = np.asarray(spec * np.asarray(sc.trfilt)[..., None])
+        grid = sp.spec_to_grid(sc, spec)
+        spec2 = sp.grid_to_spec(sc, grid)
+        m0 = np.add.outer(np.arange(cfg.mx), np.arange(cfg.nx)) <= cfg.trunc
+        err = np.abs(np.asarray(spec2) - spec)[m0].max()
+        # asymptotic-seed latitudes (deliberate reference quirk) bound the
+        # roundtrip accuracy at a few permille regardless of resolution
+        assert err < 1e-2, (name, err)
+
+    cfg = from_preset("t42", precision="fp64")
+    m = Model(cfg)
+    assert np.asarray(m.mc.clim.sst12).shape == (12, cfg.il, cfg.ix)
+
+
 def test_cli_namelist_parsing(tmp_path):
     """The CLI accepts the reference's namelist.nml format verbatim
     (params.f90:54-68, date.f90:57-71)."""
