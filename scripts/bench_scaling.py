@@ -27,7 +27,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--preset", default="t30", choices=["t30", "t85"])
+    ap.add_argument("--preset", default="t30",
+                    choices=["t30", "t42", "t63", "t85"])
     ap.add_argument("--mode", default="dp", choices=["dp", "sp"])
     ap.add_argument("--members", type=int, default=8,
                     help="ensemble members (dp mode shards these)")

@@ -48,19 +48,34 @@ def make_mesh(n_ensemble: int = 1, n_spatial: int = 1,
 
 
 def ensemble_state_sharding(mesh: Mesh, state) -> object:
-    """Shard an ensemble-stacked ModelState: member axis over 'dp' and the
-    spectral n axis (size nx, divisible by small powers of two) over 'sp'.
-    Grid-space [il, ix] surface fields shard latitude over 'sp'."""
+    """Shard an ensemble-stacked ModelState: member axis over 'dp', spatial
+    axes over 'sp'.
+
+    Grid-space [il, ix] fields always shard latitude over 'sp' (latitude
+    rows are independent in the zonal DFT and physics is columnwise —
+    SURVEY section 5.8).
+
+    Spectral [mx, nx, 2] fields shard the n axis over 'sp' when nx divides
+    evenly (T30: nx=32); otherwise (T85: nx=87) they stay replicated, which
+    turns the Legendre *analysis* einsum into a tensor-parallel contraction:
+    each device contracts its latitude band and XLA inserts one psum over
+    'sp' — the sharded-Legendre-contraction scheme of BASELINE config 5.
+    Synthesis is then communication-free (each device reads the replicated
+    spectral state and writes only its own latitude band)."""
+    n_sp = mesh.shape["sp"]
+
     def spec_of(x):
         if x.ndim >= 4 and x.shape[-1] == 2:      # [E, ..., mx, nx, 2]
             spec = [None] * x.ndim
             spec[0] = "dp"
-            spec[-2] = "sp"
+            if x.shape[-2] % n_sp == 0:
+                spec[-2] = "sp"
             return NamedSharding(mesh, P(*spec))
         if x.ndim >= 3:                            # [E, ..., il, ix]
             spec = [None] * x.ndim
             spec[0] = "dp"
-            spec[-2] = "sp"
+            if x.shape[-2] % n_sp == 0:
+                spec[-2] = "sp"
             return NamedSharding(mesh, P(*spec))
         if x.ndim >= 1:
             return NamedSharding(mesh, P("dp"))

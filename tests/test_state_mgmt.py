@@ -115,6 +115,53 @@ def test_ensemble_sppt_spread(ds32):
     assert np.all(np.isfinite(vor))
 
 
+def _one_step_sharded_vs_single(cfg, n_dp, n_sp, bound=1e-12):
+    """One full model step (physics + dynamics + coupling fluxes), sharded
+    over an n_dp x n_sp mesh vs unsharded, fp64 roundoff equality."""
+    m = Model(cfg)
+    start = cal.Datetime(1982, 1, 1)
+    state = m.initialize(start)
+    imont1, tmonth, tyear = cal.season_vars(start, m.cfg.iseasc, 1)
+    ds = coupling.make_date_scalars(m.cfg, m.geom_np, imont1, tmonth, tyear,
+                                    year=start.year)
+    daily = coupling.daily_update(m.cfg, m.pp, m.lsp, m.mc.dyn.sc, m.mc.clim,
+                                  ds, state.surf)
+    one_step = m.raw_fns["one_step"]
+    ref, _ = jax.jit(one_step, static_argnums=(3,))(m.mc, state, daily, True)
+
+    mesh = make_mesh(n_dp, n_sp)
+    vstep = jax.vmap(one_step, in_axes=(None, 0, None, None))
+    jstep = jax.jit(vstep, static_argnums=(3,))
+    estate = jax.tree.map(lambda x: jnp.broadcast_to(x, (n_dp,) + x.shape),
+                          state)
+    estate = jax.device_put(estate, ensemble_state_sharding(mesh, estate))
+    with mesh:
+        out, _ = jstep(m.mc, estate, daily, True)
+        jax.block_until_ready(out.prog.vor)
+    for name in ("vor", "div", "t", "ps", "tr"):
+        a = np.asarray(getattr(ref.prog, name))
+        b = np.asarray(getattr(out.prog, name))
+        err = np.abs(b - a).max() / np.abs(a).max()
+        assert err < bound, (name, err)
+
+
+def test_tensor_parallel_contraction_fallback():
+    """When the spectral n axis does not divide the 'sp' mesh axis, spectral
+    state stays replicated and the Legendre analysis becomes a tensor-
+    parallel contraction over latitude shards (partial products + one psum).
+    T30 nx=32 over sp=3 forces this path; result must match unsharded to
+    fp64 roundoff."""
+    _one_step_sharded_vs_single(t30(precision="fp64"), n_dp=2, n_sp=3)
+
+
+def test_t85_sharded_step_matches_single_device():
+    """BASELINE config 5 (T85L8 sharded stretch): nx=87 is indivisible, so
+    spectral fields ride replicated (TP-contraction scheme) while grids
+    shard latitude; one full step matches unsharded to fp64 roundoff."""
+    from speedy_tpu.config import t85
+    _one_step_sharded_vs_single(t85(precision="fp64"), n_dp=2, n_sp=4)
+
+
 def test_sharded_run_matches_single_device():
     """One sharded day over an 8-device dp x sp mesh reproduces the
     single-device result to fp64 roundoff: the XLA-inserted collectives and
