@@ -200,6 +200,28 @@ def test_intermediate_presets_build():
     assert np.asarray(m.mc.clim.sst12).shape == (12, cfg.il, cfg.ix)
 
 
+def test_kx5_level_configuration_runs():
+    """kx=5 sigma-level table (geometry.f90:42-48): the whole model —
+    dynamics, full physics, coupling — is level-count parametric and
+    integrates a stable day (kx=7 verified the same way off-suite)."""
+    import numpy as np
+    from speedy_tpu.config import t30
+    from speedy_tpu.models.model import Model
+    from speedy_tpu.models import coupling
+    from speedy_tpu.utils import calendar as cal
+
+    cfg = t30(precision="fp64", kx=5)
+    m = Model(cfg)
+    start = cal.Datetime(1982, 1, 1)
+    state = m.initialize(start)
+    imont1, tmonth, tyear = cal.season_vars(start, cfg.iseasc, 1)
+    ds = coupling.make_date_scalars(cfg, m.geom_np, imont1, tmonth, tyear,
+                                    year=start.year)
+    st, _ = m._run_day(m.mc, state, ds, collect_output=False)
+    assert np.isfinite(np.asarray(st.prog.vor)).all()
+    assert np.asarray(st.prog.t).shape[1] == 5
+
+
 def test_cli_namelist_parsing(tmp_path):
     """The CLI accepts the reference's namelist.nml format verbatim
     (params.f90:54-68, date.f90:57-71)."""
