@@ -58,10 +58,13 @@ def main():
     state_w, _ = model._run_span(model.mc, state, ds_days)
     assert bool(jax.numpy.all(jax.numpy.isfinite(state_w.prog.vor)))
 
-    # timed: full physics + coupling + daily forcing; the value readback
-    # inside the timed region forces real synchronization
+    # timed: full physics + coupling + daily forcing; the readback inside
+    # the timed region forces real synchronization. The timed call CONTINUES
+    # from the warm-up's output state (days 60-120), so its inputs differ
+    # from the warm-up call and a repeat-execution-eliding backend cannot
+    # serve a cached result (same hazard bench_transforms.py documents).
     t0 = time.time()
-    state, guard = model._run_span(model.mc, state, ds_days)
+    state, guard = model._run_span(model.mc, state_w, ds_days)
     finite = bool(jax.numpy.all(jax.numpy.isfinite(state.prog.vor)))
     wall = time.time() - t0
     assert finite

@@ -49,6 +49,19 @@ class ModelConfig:
     sst_anomaly_forcing: bool = False
     increase_co2: bool = False
 
+    # -- Regional ocean domains (sea_model.f90:126-131, 218-236, 446-523) --
+    # With l_globe=True the slab-ocean/ice anomaly damping acts everywhere;
+    # otherwise the union of the enabled regional masks (smoothed at the
+    # latitude boundaries) selects where cdsea/cdice are nonzero.
+    l_globe: bool = True
+    l_northe: bool = False    # Northern-hemisphere oceans (lat > 20N)
+    l_natlan: bool = False    # North Atlantic (20-80N, 100W-45E)
+    l_npacif: bool = False    # North Pacific (20-65N, 120E-100W)
+    l_tropic: bool = False    # Tropics (30S-30N)
+    l_indian: bool = False    # Indian Ocean (30S-30N, 30-120E)
+    l_elnino: bool = False    # El Nino weight mask (sea_model.f90:499-519;
+    #                           defined but never wired to a flag upstream)
+
     # -- User/namelist knobs (params.f90:49-50, namelist.nml) --
     nsteps_out: int = 1
     nstdia: int = 180

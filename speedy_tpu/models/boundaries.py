@@ -6,6 +6,7 @@ the geopotential (boundaries.f90:28-43, 75-94).
 """
 from __future__ import annotations
 
+import logging
 from typing import NamedTuple, Optional
 
 import numpy as np
@@ -44,11 +45,22 @@ def grid_to_spec_np(tables: dict, fg: np.ndarray) -> np.ndarray:
 
 
 def forchk(fmask: np.ndarray, fmin: float, fmax: float, fset: float,
-           field: np.ndarray) -> np.ndarray:
+           field: np.ndarray, name: str = "field") -> np.ndarray:
     """Range-check a surface field against the mask; points with zero mask are
-    set to ``fset`` (boundaries.f90:47-72). Returns the repaired field."""
+    set to ``fset`` (boundaries.f90:47-72). Returns the repaired field.
+
+    Input-QC observability: counts masked points outside [fmin, fmax] per 2D
+    slice like the reference's ``nfault`` counter (boundaries.f90:58-66 — the
+    reference accumulates it but never prints; we log it when nonzero)."""
     field = field.copy()
-    field[..., fmask <= 0.0] = fset
+    masked = fmask > 0.0
+    vals = field[..., masked]
+    nfault = int(((vals < fmin) | (vals > fmax)).sum())
+    if nfault:
+        logging.getLogger(__name__).warning(
+            "forchk: %d out-of-range point(s) in %r (allowed [%g, %g])",
+            nfault, name, fmin, fmax)
+    field[..., ~masked] = fset
     return field
 
 

@@ -65,6 +65,58 @@ class Climatology(NamedTuple):
     sstan3: jnp.ndarray  # [3, il, ix] anomaly window (zeros if unavailable)
 
 
+def sea_domain(cdomain: str, deglat_s: np.ndarray, ix: int,
+               dmask: np.ndarray) -> None:
+    """Mark one named ocean domain in ``dmask`` (in place), [il, ix] layout.
+
+    Loop-free rendering of the reference's per-point scans
+    (sea_model.f90:446-523). Longitude of column i is i*360/ix degrees east;
+    ``deglat_s`` is latitude in degrees, south -> north."""
+    dlon = 360.0 / ix
+    rlon = np.arange(ix) * dlon                    # [ix]
+    lat = deglat_s[:, None]                        # [il, 1]
+    if cdomain == "northe":
+        dmask[(lat > 20.0) & np.ones(ix, bool)] = 1.0
+    elif cdomain == "natlan":
+        band = (lat > 20.0) & (lat < 80.0)
+        dmask[band & ((rlon < 45.0) | (rlon > 260.0))] = 1.0
+    elif cdomain == "npacif":
+        band = (lat > 20.0) & (lat < 65.0)
+        dmask[band & ((rlon > 120.0) & (rlon < 260.0))] = 1.0
+    elif cdomain == "tropic":
+        dmask[(lat > -30.0) & (lat < 30.0) & np.ones(ix, bool)] = 1.0
+    elif cdomain == "indian":
+        band = (lat > -30.0) & (lat < 30.0)
+        dmask[band & ((rlon > 30.0) & (rlon < 120.0))] = 1.0
+    elif cdomain == "elnino":
+        arlat = np.abs(lat)
+        wlat = np.where(arlat > 15.0, (0.1 * (25.0 - arlat)) ** 2, 1.0)
+        rlonw = 300.0 - 2.0 * np.maximum(lat, 0.0)
+        core = (rlon > 165.0) & (rlon < rlonw)
+        ramp = (rlon > 155.0) & (rlon <= 165.0)
+        sel = arlat < 25.0
+        dmask[:] = np.where(sel & core, wlat, dmask)
+        dmask[:] = np.where(sel & ramp, wlat * 0.1 * (rlon - 155.0), dmask)
+    else:
+        raise ValueError(f"unknown sea domain {cdomain!r}")
+
+
+def build_sea_domain_mask(cfg: ModelConfig, radang: np.ndarray) -> np.ndarray:
+    """Union of the enabled regional ocean domains (sea_model.f90:218-229),
+    before boundary smoothing and land blanking."""
+    il, ix = cfg.il, cfg.ix
+    if cfg.l_globe:
+        return np.ones((il, ix))
+    dmask = np.zeros((il, ix))
+    deglat_s = np.degrees(radang)
+    for on, name in ((cfg.l_northe, "northe"), (cfg.l_natlan, "natlan"),
+                     (cfg.l_npacif, "npacif"), (cfg.l_tropic, "tropic"),
+                     (cfg.l_indian, "indian"), (cfg.l_elnino, "elnino")):
+        if on:
+            sea_domain(name, deglat_s, ix, dmask)
+    return dmask
+
+
 def build_land_sea(cfg: ModelConfig, bounds_fmask: np.ndarray,
                    alb0: np.ndarray, radang: np.ndarray,
                    search=None) -> Tuple[LandSeaParams, dict]:
@@ -87,9 +139,9 @@ def build_land_sea(cfg: ModelConfig, bounds_fmask: np.ndarray,
     # --- land climatologies ---
     stl12 = np.stack([fillsf(f, 0.0) for f in
                       load_boundary_file("land.nc", "stl", 12, search, tgt)])
-    stl12 = forchk(bmask_l, 0.0, 400.0, 273.0, stl12)
+    stl12 = forchk(bmask_l, 0.0, 400.0, 273.0, stl12, "stl")
     snowd12 = load_boundary_file("snow.nc", "snowd", 12, search, tgt)
-    snowd12 = forchk(bmask_l, 0.0, 20000.0, 0.0, snowd12)
+    snowd12 = forchk(bmask_l, 0.0, 20000.0, 0.0, snowd12, "snowd")
 
     veg_high = load_boundary_file("surface.nc", "vegh", search=search,
                                   target_shape=tgt)
@@ -104,17 +156,17 @@ def build_land_sea(cfg: ModelConfig, bounds_fmask: np.ndarray,
     swl2 = load_boundary_file("soil.nc", "swl2", 12, search, tgt)
     soilw12 = np.minimum(
         1.0, rsw * (swl1 + veg[None] * np.maximum(0.0, idep2 * swl2 - swwil2)))
-    soilw12 = forchk(bmask_l, 0.0, 10.0, 0.0, soilw12)
+    soilw12 = forchk(bmask_l, 0.0, 10.0, 0.0, soilw12, "soilw")
 
     # --- sea climatologies ---
     sst12 = np.stack([fillsf(f, 0.0) for f in
                       load_boundary_file("sea_surface_temperature.nc", "sst",
                                          12, search, tgt)])
-    sst12 = forchk(bmask_s, 100.0, 400.0, 273.0, sst12)
+    sst12 = forchk(bmask_s, 100.0, 400.0, 273.0, sst12, "sst")
     sice12 = np.maximum(load_boundary_file("sea_ice.nc", "icec", 12, search,
                                            tgt),
                         0.0)
-    sice12 = forchk(bmask_s, 0.0, 1.0, 0.0, sice12)
+    sice12 = forchk(bmask_s, 0.0, 1.0, 0.0, sice12, "sice")
 
     sstan3 = np.zeros((3, il, ix))
 
@@ -136,8 +188,11 @@ def build_land_sea(cfg: ModelConfig, bounds_fmask: np.ndarray,
     hcaps = 4.18e6 * (depth_ml + (dept0_ml - depth_ml) * coslat**3)
     hcapi = 1.93e6 * (depth_ice + (dept0_ice - depth_ice) * coslat**2)
 
-    dmask_s = np.ones((il, ix))
-    # latitudinal smoothing is a no-op for the all-ones global mask
+    dmask_s = build_sea_domain_mask(cfg, radang)
+    # smooth latitudinal domain boundaries (sea_model.f90:231-234; a no-op
+    # for the all-ones global mask), then blank out land points
+    dmask_s[1:-1] = 0.25 * (dmask_s[:-2] + 2.0 * dmask_s[1:-1]
+                            + dmask_s[2:])
     dmask_s[fmask_s < fseamin] = 0.0
     rhcaps = np.broadcast_to((cfg.delt / hcaps)[:, None], (il, ix)).copy()
     rhcapi = np.broadcast_to((cfg.delt / hcapi)[:, None], (il, ix)).copy()
@@ -174,7 +229,7 @@ def _read_anomaly_month(cfg: ModelConfig, bmask_s: np.ndarray,
     data = load_boundary_file(ANOMALY_FILE, "ssta", ANOMALY_MONTHS, search,
                               bmask_s.shape)
     idx = int(np.clip(month_1b - 1, 0, ANOMALY_MONTHS - 1))
-    return forchk(bmask_s, -50.0, 50.0, 0.0, data[idx])
+    return forchk(bmask_s, -50.0, 50.0, 0.0, data[idx], "ssta")
 
 
 def initial_anomaly_window(cfg: ModelConfig, bmask_s: np.ndarray,

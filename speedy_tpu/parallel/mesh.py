@@ -51,9 +51,11 @@ def ensemble_state_sharding(mesh: Mesh, state) -> object:
     """Shard an ensemble-stacked ModelState: member axis over 'dp', spatial
     axes over 'sp'.
 
-    Grid-space [il, ix] fields always shard latitude over 'sp' (latitude
-    rows are independent in the zonal DFT and physics is columnwise —
-    SURVEY section 5.8).
+    Grid-space [il, ix] fields shard latitude over 'sp' when il divides
+    evenly by the 'sp' size (latitude rows are independent in the zonal DFT
+    and physics is columnwise — SURVEY section 5.8); otherwise they stay
+    replicated (and a warning is emitted, since a non-trivial 'sp' axis then
+    shards nothing in grid space).
 
     Spectral [mx, nx, 2] fields shard the n axis over 'sp' when nx divides
     evenly (T30: nx=32); otherwise (T85: nx=87) they stay replicated, which
@@ -63,6 +65,16 @@ def ensemble_state_sharding(mesh: Mesh, state) -> object:
     Synthesis is then communication-free (each device reads the replicated
     spectral state and writes only its own latitude band)."""
     n_sp = mesh.shape["sp"]
+    if n_sp > 1:
+        shardable = any(
+            x.ndim >= 3 and x.shape[-2] % n_sp == 0
+            for x in jax.tree.leaves(state))
+        if not shardable:
+            import warnings
+            warnings.warn(
+                f"sp={n_sp} divides neither a latitude nor a spectral-n axis "
+                "of any state leaf; all spatial axes will be replicated and "
+                "the 'sp' mesh axis does no work")
 
     def spec_of(x):
         if x.ndim >= 4 and x.shape[-1] == 2:      # [E, ..., mx, nx, 2]

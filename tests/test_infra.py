@@ -177,6 +177,10 @@ def test_intermediate_presets_build():
     from speedy_tpu.ops import spectral as sp
     from speedy_tpu.models.model import Model
 
+    # measured roundtrip error of this scheme (fp64, rng seed 3):
+    # t42 3.84e-3, t63 5.17e-3 (2026-08-20); bound at ~2x measured so a
+    # genuine transform regression fails while roundoff jitter passes
+    bound = {"t42": 8e-3, "t63": 1.1e-2}
     for name in ("t42", "t63"):
         cfg = from_preset(name, precision="fp64")
         assert cfg.ix >= 2 * cfg.mx
@@ -193,7 +197,7 @@ def test_intermediate_presets_build():
         err = np.abs(np.asarray(spec2) - spec)[m0].max()
         # asymptotic-seed latitudes (deliberate reference quirk) bound the
         # roundtrip accuracy at a few permille regardless of resolution
-        assert err < 1e-2, (name, err)
+        assert err < bound[name], (name, err)
 
     cfg = from_preset("t42", precision="fp64")
     m = Model(cfg)
@@ -248,3 +252,47 @@ end_datetime%day = 10,
     assert nl["nstdia"] == 180
     assert nl["start_datetime%year"] == 1982
     assert nl["end_datetime%day"] == 10
+
+
+def test_regional_sea_domains():
+    """Regional ocean domains (sea_model.f90:218-236, 446-523): a non-global
+    domain must change cdsea/cdice only inside the (smoothed) domain, and the
+    union/smoothing/land-blank pipeline must match the reference's order."""
+    import numpy as np
+    from speedy_tpu.config import t30
+    from speedy_tpu.geometry import build_geometry_np
+    from speedy_tpu.models import coupling
+
+    cfg_g = t30(precision="fp64")
+    cfg_r = t30(precision="fp64", l_globe=False, l_tropic=True)
+    geom = build_geometry_np(cfg_g)
+    radang = geom["radang"]
+    deglat = np.degrees(radang)
+
+    rng = np.random.default_rng(0)
+    fmask = (rng.uniform(size=(cfg_g.il, cfg_g.ix)) < 0.3).astype(np.float64)
+    alb0 = np.full((cfg_g.il, cfg_g.ix), 0.2)
+
+    lsp_g, _ = coupling.build_land_sea(cfg_g, fmask, alb0, radang)
+    lsp_r, _ = coupling.build_land_sea(cfg_r, fmask, alb0, radang)
+
+    # inside the tropics (away from the smoothing rows) regional == global
+    inner = np.abs(deglat) < 25.0
+    assert np.array_equal(lsp_r.cdsea[inner], lsp_g.cdsea[inner])
+    # well outside the domain (beyond one smoothing row) damping is off
+    outer = np.abs(deglat) > 35.0
+    assert np.all(lsp_r.cdsea[outer] == 0.0)
+    assert np.all(lsp_r.cdice[outer] == 0.0)
+    # the domain actually selects something, and land points stay blanked
+    assert lsp_r.cdsea.max() > 0.0
+    assert np.all(lsp_r.cdsea[fmask > 2.0 / 3.0] == 0.0)
+
+    # El Nino weight mask: fractional weights in (0,1) exist (the ramp and
+    # the 15-25 deg taper, sea_model.f90:499-519)
+    dmask = np.zeros((cfg_g.il, cfg_g.ix))
+    coupling.sea_domain("elnino", deglat, cfg_g.ix, dmask)
+    assert dmask.max() == 1.0
+    frac = dmask[(dmask > 0.0) & (dmask < 1.0)]
+    assert frac.size > 0
+    # zero outside |lat|<25 and outside 155E..300W
+    assert np.all(dmask[np.abs(deglat) >= 25.0] == 0.0)
