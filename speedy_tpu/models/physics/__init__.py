@@ -75,7 +75,9 @@ def build_physics_params(cfg: ModelConfig, geom_np: dict, sp_np: dict,
         fsg=cast(fsg), dhs=cast(dhs), sigh=cast(sigh), sigl=cast(sigl),
         wvi2=cast(wvi2), grdsig=cast(grdsig), grdscp=cast(grdscp),
         fband=cast(longwave.build_fband()),
-        forog=cast(surface_mod.orographic_drag_factor(phi0)),
+        # the reference passes the spectrally FILTERED surface geopotential
+        # here (forcing.f90:43 calls set_orog_land_sfc_drag(phis0))
+        forog=cast(surface_mod.orographic_drag_factor(phis0)),
         coa=cast(geom_np["coa"]),
         fmask_l=cast(fmask_l), fmask_s=cast(fmask_s), phis0=cast(phis0),
         sppt_sigma=cast(sppt_mod.sppt_sigma(cfg, sp_np["el2"])),
@@ -105,6 +107,13 @@ class DailyForcing(NamedTuple):
     sicecl_ob: jnp.ndarray   # [il, ix]
     ticecl_ob: jnp.ndarray   # [il, ix]
     sstan_ob: jnp.ndarray    # [il, ix] observed SST anomaly
+    # next-day interpolations, used only by the day's LAST coupling step
+    # (the reference couples after newdate, speedy.f90:47-53)
+    stlcl_nx: jnp.ndarray    # [il, ix]
+    sstcl_nx: jnp.ndarray    # [il, ix]
+    sicecl_nx: jnp.ndarray   # [il, ix]
+    ticecl_nx: jnp.ndarray   # [il, ix]
+    sstan_nx: jnp.ndarray    # [il, ix]
 
 
 class SurfaceState(NamedTuple):
@@ -237,8 +246,13 @@ def get_physical_tendencies(cfg: ModelConfig, pp: PhysicsParams,
     # --- SPPT multiplicative noise on the physics increments
     # (physics.f90:207-222) ---
     if cfg.sppt_on:
-        pattern, sppt_state = sppt_mod.gen_sppt(cfg, sc, pp.sppt_sigma,
-                                                sppt_state)
+        if pg.sppt is not None:
+            # pattern synthesized inside the main dynamics transform batch
+            # (one_step pre-computes the AR(1) update; sppt.sppt_ar1)
+            pattern = jnp.clip(pg.sppt, -1.0, 1.0)
+        else:
+            pattern, sppt_state = sppt_mod.gen_sppt(cfg, sc, pp.sppt_sigma,
+                                                    sppt_state)
         fac = 1.0 + pattern * pp.sppt_mu[:, None, None]
         utend, vtend = fac * utend, fac * vtend
         ttend, qtend = fac * ttend, fac * qtend

@@ -70,8 +70,12 @@ class Ensemble:
         for _ in range(n_days):
             imont1, tmonth, tyear = cal.season_vars(date, cfg.iseasc,
                                                     start.month)
+            im_n, tm_n, _ = cal.season_vars(cal.next_day(date), cfg.iseasc,
+                                            start.month)
             ds = coupling.make_date_scalars(cfg, model.geom_np, imont1,
-                                            tmonth, tyear, year=date.year)
+                                            tmonth, tyear, year=date.year,
+                                            imont1_next=im_n,
+                                            tmonth_next=tm_n)
             estate, _ = self._run_jit(model.mc, estate, ds,
                                       collect_output=False)
             for _ in range(cfg.nsteps):

@@ -62,6 +62,24 @@ def newdate(d: Datetime, nsteps: int) -> Datetime:
     return Datetime(year, month, day, hour, minute)
 
 
+def next_day(d: Datetime) -> Datetime:
+    """The date one calendar day later (same rollover rules as newdate,
+    incl. the leap-February quirk, date.f90:129-139)."""
+    day, month, year = d.day + 1, d.month, d.year
+    if year % 4 == 0 and month == 2:
+        if day > 29:
+            day = 1
+            month += 1
+    else:
+        if day > NDAYCAL[month - 1]:
+            day = 1
+            month += 1
+    if month > 12:
+        month = 1
+        year += 1
+    return Datetime(year, month, day, d.hour, d.minute)
+
+
 def season_vars(d: Datetime, iseasc: int = 1, start_month: int = 1):
     """(imont1, tmonth, tyear) (date.f90:97-105)."""
     if iseasc >= 1:

@@ -736,7 +736,9 @@ def get_vertical_diffusion_tend(pc: PhysicsConsts, g: Geometry,
     fvdise = cvdi / (TRVDS * CP)
     rsig = 1.0 / g.dhs
     rsig1 = np.zeros(kx)
-    rsig1[:nl1] = 1.0 / (1.0 - pc.sigh[:nl1])
+    # rsig1(k) = 1/(1 - sigh(k)), k = 1..nl1 (vertical_diffusion.f90:69);
+    # sigh is the 0:kx half-level array, so 1-based k indexes pc.sigh[k]
+    rsig1[:nl1] = 1.0 / (1.0 - pc.sigh[1:nl1 + 1])
 
     utenvd = np.zeros((ix, il, kx))
     vtenvd = np.zeros((ix, il, kx))
