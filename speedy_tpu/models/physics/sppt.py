@@ -57,15 +57,28 @@ def _clipped_normal(key, shape, dtype):
     return jnp.clip(eta, -10.0, 10.0)
 
 
-def gen_sppt(cfg, sc: sp.SpectralConsts, sigma: np.ndarray,
+def sppt_ar1(cfg, sigma: np.ndarray,
              state: SpptState) -> Tuple[jnp.ndarray, SpptState]:
-    """AR(1) update + transform to a grid pattern clipped to [-1, 1]
-    (sppt.f90:45-99). Returns ([kx, il, ix] pattern, new state)."""
+    """AR(1) spectral update only (sppt.f90:84-90). The synthesis of the
+    returned spec rides the main dynamics transform batch
+    (tendencies.grid_dynamics_tendencies) — one more field in the same
+    einsum chain instead of a separate small transform dispatch."""
     phi = sppt_phi(cfg)
     key, sub = jax.random.split(state.key)
     eta = _clipped_normal(sub, state.spec.shape, state.spec.dtype)
     spec = phi * state.spec \
         + jnp.asarray(sigma, state.spec.dtype)[:, :, None] * eta
+    return spec, SpptState(spec=spec, key=key)
+
+
+def gen_sppt(cfg, sc: sp.SpectralConsts, sigma: np.ndarray,
+             state: SpptState) -> Tuple[jnp.ndarray, SpptState]:
+    """AR(1) update + transform to a grid pattern clipped to [-1, 1]
+    (sppt.f90:45-99). Returns ([kx, il, ix] pattern, new state).
+    Standalone path (used by the leapfrog bootstrap, where the reference
+    advances the AR(1) once per internal step); the hot path pre-batches
+    the synthesis via sppt_ar1."""
+    spec, state = sppt_ar1(cfg, sigma, state)
     grid = sp.spec_to_grid(sc, spec)
     grid = jnp.clip(grid, -1.0, 1.0)
-    return grid, SpptState(spec=spec, key=key)
+    return grid, state

@@ -53,6 +53,7 @@ class PhysicsGridState(NamedTuple):
     qg: jnp.ndarray    # specific humidity (unclamped; physics clamps >= 0)
     phig: jnp.ndarray  # geopotential
     pslg: jnp.ndarray  # [il, ix] log surface pressure
+    sppt: Optional[jnp.ndarray] = None  # [kx, il, ix] unclipped SPPT pattern
 
 
 # Type of the physics hook: takes a PhysicsGridState at the physics time
@@ -72,7 +73,8 @@ def _half_level_advection(shd: jnp.ndarray, f: jnp.ndarray) -> jnp.ndarray:
 
 def grid_dynamics_tendencies(cfg: ModelConfig, dyn: DynConsts, ic: ImplicitConsts,
                              state: PrognosticState, j2: int,
-                             phi0_spec: Optional[jnp.ndarray] = None
+                             phi0_spec: Optional[jnp.ndarray] = None,
+                             sppt_spec: Optional[jnp.ndarray] = None
                              ) -> Tuple[jnp.ndarray, ...]:
     """Nonlinear grid-point dynamics tendencies (tendencies.f90:49-197).
 
@@ -102,6 +104,10 @@ def grid_dynamics_tendencies(cfg: ModelConfig, dyn: DynConsts, ic: ImplicitConst
     if with_phys:
         plain_fields += [state.t[0], state.tr[0, 0], phi0_spec,
                          state.ps[0][None]]
+    if sppt_spec is not None:
+        # SPPT pattern synthesis rides the same einsum chain (sppt.f90:93-95
+        # analog) instead of a separate small transform dispatch
+        plain_fields.append(sppt_spec)
     plain_g = sp.spec_to_grid(sc, jnp.concatenate(plain_fields, axis=0))
     vorg, divg, tg = plain_g[:kx], plain_g[kx:2 * kx], plain_g[2 * kx:3 * kx]
     base = (3 + ntr) * kx
@@ -126,7 +132,9 @@ def grid_dynamics_tendencies(cfg: ModelConfig, dyn: DynConsts, ic: ImplicitConst
             ug=wind_g[kx:2 * kx], vg=wind_g[nuv + kx:2 * nuv],
             tg=plain_g[base:base + kx], qg=plain_g[base + kx:base + 2 * kx],
             phig=plain_g[base + 2 * kx:base + 3 * kx],
-            pslg=plain_g[base + 3 * kx])
+            pslg=plain_g[base + 3 * kx],
+            sppt=(plain_g[base + 3 * kx + 1:base + 3 * kx + 1 + kx]
+                  if sppt_spec is not None else None))
 
     vorg = vorg + geom.coriol[None, :, None]
 
@@ -250,7 +258,8 @@ def spectral_tendencies(cfg: ModelConfig, dyn: DynConsts, ic: ImplicitConsts,
 
 def get_tendencies(cfg: ModelConfig, dyn: DynConsts, ic: ImplicitConsts,
                    state: PrognosticState, j2: int,
-                   physics_fn: Optional[PhysicsFn] = None) -> Tuple:
+                   physics_fn: Optional[PhysicsFn] = None,
+                   sppt_spec: Optional[jnp.ndarray] = None) -> Tuple:
     """Full tendency computation (tendencies.f90:11-37): grid-point dynamics
     (+ physics at level 0) -> spectral conversion -> spectral tendencies ->
     semi-implicit correction (alph >= 0.5).
@@ -260,7 +269,7 @@ def get_tendencies(cfg: ModelConfig, dyn: DynConsts, ic: ImplicitConsts,
     phi0 = get_geopotential(dyn.gc, state.t[0], dyn.phis) \
         if physics_fn is not None else None
     gs, pg, psdt_g, utend, vtend, ttend, trtend, tgg = \
-        grid_dynamics_tendencies(cfg, dyn, ic, state, j2, phi0)
+        grid_dynamics_tendencies(cfg, dyn, ic, state, j2, phi0, sppt_spec)
 
     aux = None
     if physics_fn is not None:

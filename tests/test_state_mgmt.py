@@ -162,6 +162,39 @@ def test_t85_sharded_step_matches_single_device():
     _one_step_sharded_vs_single(t85(precision="fp64"), n_dp=2, n_sp=4)
 
 
+@pytest.mark.slow
+def test_t85_sharded_full_day_matches_single_device():
+    """BASELINE config 5 at full depth: an entire T85 day (96 steps incl.
+    the daily forcing update, TP-contraction analysis, coupling and the
+    grid_to_spec of tcorh/qcorh inside daily_update) over a dp=2 x sp=4
+    mesh matches the unsharded day to fp64 roundoff."""
+    from speedy_tpu.config import t85
+    m = Model(t85(precision="fp64"))
+    start = cal.Datetime(1982, 1, 1)
+    state = m.initialize(start)
+    imont1, tmonth, tyear = cal.season_vars(start, m.cfg.iseasc, 1)
+    ds = coupling.make_date_scalars(m.cfg, m.geom_np, imont1, tmonth, tyear)
+    ref, _ = m._run_day(m.mc, state, ds, collect_output=False)
+
+    mesh = make_mesh(2, 4)
+    run_day = m.raw_fns["run_day"]
+    vrun = jax.vmap(run_day, in_axes=(None, 0, None, None))
+    jrun = jax.jit(vrun, static_argnums=(3,))
+    estate = jax.tree.map(lambda x: jnp.broadcast_to(x, (2,) + x.shape),
+                          state)
+    estate = jax.device_put(estate, ensemble_state_sharding(mesh, estate))
+    with mesh:
+        out, _ = jrun(m.mc, estate, ds, False)
+        jax.block_until_ready(out.prog.vor)
+    for name in ("vor", "div", "t", "ps", "tr"):
+        a = np.asarray(getattr(ref.prog, name))
+        b = np.asarray(getattr(out.prog, name))
+        scale = np.abs(a).max()
+        for member in range(2):
+            err = np.abs(b[member] - a).max() / scale
+            assert err < 1e-11, (name, member, err)
+
+
 def test_sharded_run_matches_single_device():
     """One sharded day over an 8-device dp x sp mesh reproduces the
     single-device result to fp64 roundoff: the XLA-inserted collectives and
