@@ -346,6 +346,11 @@ class Model:
             state, ys = self._run_day(self.mc, state, ds,
                                       collect_output=collect)
             outs, grids = ys if collect else (ys, None)
+            if collect:
+                # ONE bulk device->host fetch per day: per-step slice
+                # fetches cost a host round trip each (36 steps x 6 fields
+                # ~ 5 s/day on a tunneled backend vs ~0.8 s bulk)
+                grids = {k: np.asarray(v) for k, v in grids.items()}
             day_diag = jax.tree.map(np.asarray, outs.diag)
             for i in range(cfg.nsteps):
                 model_step += 1
@@ -356,7 +361,7 @@ class Model:
                 check_diagnostics(diag_i, model_step)
                 if output_writer is not None and \
                         model_step % cfg.nsteps_out == 0:
-                    fields = {k: np.asarray(v[i]) for k, v in grids.items()}
+                    fields = {k: v[i] for k, v in grids.items()}
                     output_writer(model_step, date, start, fields)
                 if not date < end:
                     break
