@@ -434,8 +434,13 @@ class OracleSpeedy:
     # ------------------------------------------------------------------
     def run(self, n_steps: int, record=None):
         """Advance n_steps regular steps (after the built-in first_step).
-        record(self, model_step) is called after each step if given."""
-        model_step = 1
+        record(self, model_step) is called after each step if given.
+
+        NB: owns the model_step counter across calls — the set_forcing
+        cadence, shortwave cadence and coupling day counter all key off it
+        (speedy.f90:21-53), so repeated run(1) calls are equivalent to one
+        run(n)."""
+        model_step = getattr(self, "_model_step", 1)
         for _ in range(n_steps):
             if (model_step - 1) % self.NSTEPS == 0:
                 set_forcing(1, self.date, self.bounds, self.land, self.sea,
@@ -453,4 +458,5 @@ class OracleSpeedy:
             self.sea.couple_sea_atm(day, self.date, self.aux)
             if record is not None:
                 record(self, model_step - 1)
+        self._model_step = model_step
         return self
