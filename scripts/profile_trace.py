@@ -32,7 +32,7 @@ from scripts.profile_ensemble import build_ds_days
 
 def parse_xplanes(logdir):
     """Aggregate device-op durations from the captured .xplane.pb files."""
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
     files = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
                       recursive=True)
     assert files, f"no xplane files under {logdir}"

@@ -36,9 +36,23 @@ def build_fband() -> np.ndarray:
 
 
 def _fband_at(fband: jnp.ndarray, ta: jnp.ndarray) -> jnp.ndarray:
-    """fband rows for nint(ta) -> [..., 4]."""
-    idx = jnp.clip(jnp.floor(ta + 0.5).astype(jnp.int32) - 100, 0, 300)
-    return fband[idx]
+    """fband rows for nint(ta) -> [..., 4].
+
+    Evaluated directly as the clamped quadratics the table is built from
+    (longwave_radiation.f90:204-216) on the nint-quantized temperature —
+    the same arithmetic as build_fband, so fp64 results are bit-identical
+    to the table lookup, without materializing a [..., 4] gather of a
+    301-row table (the gather + its layout copies were ~10% of the
+    64-member step's device time). The quantize-then-clamp reproduces the
+    table's constant extension below 200 K / above 320 K.
+    """
+    tq = jnp.clip(jnp.floor(ta + 0.5), 200.0, 320.0)
+    eps1 = 1.0 - EPSLW
+    f1 = (0.148 - 3.0e-6 * (tq - 247.0) ** 2) * eps1
+    f2 = (0.356 - 5.2e-6 * (tq - 282.0) ** 2) * eps1
+    f3 = (0.314 + 1.0e-5 * (tq - 315.0) ** 2) * eps1
+    f0 = eps1 - f1 - f2 - f3
+    return jnp.stack([f0, f1, f2, f3], axis=-1)
 
 
 def downward_longwave(wvi2: np.ndarray, fband: jnp.ndarray,
