@@ -70,6 +70,9 @@ class ModelConfig:
     precision: str = "fp32"      # "fp32" | "fp64"  (reference is fp64-only)
     n_ensemble: int = 1          # vmapped ensemble members (SPPT ensembles)
     check_interval: int = 36     # steps between stability guard checks
+    scan_unroll: int = 1         # lax.scan unroll of the SW-triple day scan
+    #                              (>1 trades compile time for less loop
+    #                               bookkeeping in the latency-bound step)
 
     # ---- derived geometry ----
     @property

@@ -125,7 +125,8 @@ def _make_step_fns(cfg: ModelConfig, pp, lsp):
                 return st, (outs, grids)
             return st, outs
 
-        state, ys = jax.lax.scan(triple, state, jnp.arange(n_triples))
+        state, ys = jax.lax.scan(triple, state, jnp.arange(n_triples),
+                                 unroll=cfg.scan_unroll)
         ys = jax.tree.map(lambda a: a.reshape((-1,) + a.shape[2:]), ys)
         return state, ys
 
