@@ -88,11 +88,18 @@ def main():
 
     days_per_min = n_days / wall * 60.0
     baseline = measure_oracle_baseline()
+    # Two denominators so the single line is self-describing (ADVICE r03):
+    # vs_measured_oracle divides by the live-measured serial NumPy oracle on
+    # this host (~6 days/min); vs_fortran_estimate divides by the literature
+    # -scale -Ofast Fortran estimate (~50 days/min, BASELINE.md bracketing).
+    FORTRAN_OFAST_EST = 50.0
     print(json.dumps({
         "metric": "sim_days_per_minute_t30l8_full_physics",
         "value": round(days_per_min, 1),
         "unit": "simulated-days/min",
         "vs_baseline": round(days_per_min / baseline, 2),
+        "vs_measured_oracle": round(days_per_min / baseline, 2),
+        "vs_fortran_estimate": round(days_per_min / FORTRAN_OFAST_EST, 2),
     }))
 
 

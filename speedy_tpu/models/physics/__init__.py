@@ -34,8 +34,10 @@ from .sppt import SpptState
 class PhysicsParams:
     """Host-side (numpy) physics constants, closed over in jit.
 
-    Vertical tables follow physics.f90:12-39; fband longwave_radiation.f90:
-    197-220; forog surface_fluxes.f90:300-309.
+    Vertical tables follow physics.f90:12-39; forog
+    surface_fluxes.f90:300-309. The LW band fractions (longwave_radiation
+    .f90:197-220) are evaluated directly in longwave._fband_at, so no
+    table is carried here.
     """
     fsg: np.ndarray       # [kx]
     dhs: np.ndarray       # [kx]
@@ -44,7 +46,6 @@ class PhysicsParams:
     wvi2: np.ndarray      # [kx] half-level interpolation weights wvi(:,2)
     grdsig: np.ndarray    # [kx] g/(dsigma p0)
     grdscp: np.ndarray    # [kx] g/(dsigma p0 cp)
-    fband: np.ndarray     # [301, 4]
     forog: np.ndarray     # [il, ix] orographic drag factor
     coa: np.ndarray       # [il] cos(lat)
     fmask_l: np.ndarray   # [il, ix]
@@ -74,7 +75,6 @@ def build_physics_params(cfg: ModelConfig, geom_np: dict, sp_np: dict,
     return PhysicsParams(
         fsg=cast(fsg), dhs=cast(dhs), sigh=cast(sigh), sigl=cast(sigl),
         wvi2=cast(wvi2), grdsig=cast(grdsig), grdscp=cast(grdscp),
-        fband=cast(longwave.build_fband()),
         # the reference passes the spectrally FILTERED surface geopotential
         # here (forcing.f90:43 calls set_orog_land_sfc_drag(phis0))
         forog=cast(surface_mod.orographic_drag_factor(phis0)),
@@ -212,7 +212,7 @@ def get_physical_tendencies(cfg: ModelConfig, pp: PhysicsParams,
                              ssrd=ssrd, ssr=ssr, tsr=tsr)
 
     slrd, dfabs_lw, st4a1, st4a2, lwflux = longwave.downward_longwave(
-        pp.wvi2, jnp.asarray(pp.fband), rad.tau2, tg)
+        pp.wvi2, rad.tau2, tg)
 
     # --- surface fluxes + land skin temperature (physics.f90:168-176) ---
     sfc, saved = surface_mod.surface_fluxes(
@@ -225,7 +225,7 @@ def get_physical_tendencies(cfg: ModelConfig, pp: PhysicsParams,
     # model build: the reference stops for flags >= 1 (sea_model.f90:188-190)
 
     slr, olr, dfabs_lw = longwave.upward_longwave(
-        dhs, jnp.asarray(pp.fband), rad.tau2, rad.stratc, tg, sfc.tsfc,
+        dhs, rad.tau2, rad.stratc, tg, sfc.tsfc,
         slrd, sfc.slru[2], st4a1, st4a2, lwflux, dfabs_lw)
     tt_rlw = dfabs_lw * rps[None] * grdscp
     ttend = ttend + rad.tt_rsw + tt_rlw

@@ -21,7 +21,11 @@ NBAND = 4
 
 def build_fband() -> np.ndarray:
     """Energy fraction emitted in each LW band as f(T), T = 100..400 K
-    (longwave_radiation.f90:197-220). Returns [301, 4] (index T-100)."""
+    (longwave_radiation.f90:197-220). Returns [301, 4] (index T-100).
+
+    TEST FIXTURE ONLY: the model evaluates the clamped quadratics directly
+    (`_fband_at`); tests/test_physics.py verifies the direct evaluation is
+    bit-identical to this table in fp64."""
     fband = np.zeros((301, 4))
     eps1 = 1.0 - EPSLW
     t = np.arange(200, 321, dtype=np.float64)
@@ -35,7 +39,7 @@ def build_fband() -> np.ndarray:
     return fband
 
 
-def _fband_at(fband: jnp.ndarray, ta: jnp.ndarray) -> jnp.ndarray:
+def _fband_at(ta: jnp.ndarray) -> jnp.ndarray:
     """fband rows for nint(ta) -> [..., 4].
 
     Evaluated directly as the clamped quadratics the table is built from
@@ -55,8 +59,7 @@ def _fband_at(fband: jnp.ndarray, ta: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([f0, f1, f2, f3], axis=-1)
 
 
-def downward_longwave(wvi2: np.ndarray, fband: jnp.ndarray,
-                      tau2: jnp.ndarray, ta: jnp.ndarray
+def downward_longwave(wvi2: np.ndarray, tau2: jnp.ndarray, ta: jnp.ndarray
                       ) -> Tuple[jnp.ndarray, ...]:
     """-> (slrd, dfabs, st4a1, st4a2, flux) (longwave_radiation.f90:16-117).
 
@@ -90,7 +93,7 @@ def downward_longwave(wvi2: np.ndarray, fband: jnp.ndarray,
     st4a2 = jnp.stack(st4a2, axis=0)
 
     dfabs = jnp.zeros_like(ta)
-    fb = _fband_at(fband, ta)  # [kx, il, ix, 4]
+    fb = _fband_at(ta)  # [kx, il, ix, 4]
 
     # 3.1 stratosphere, bands 1-2, k=1
     flux = [None] * NBAND
@@ -123,7 +126,7 @@ def downward_longwave(wvi2: np.ndarray, fband: jnp.ndarray,
     return slrd, dfabs, st4a1, st4a2, jnp.stack(flux, axis=0)
 
 
-def upward_longwave(dhs: np.ndarray, fband: jnp.ndarray, tau2: jnp.ndarray,
+def upward_longwave(dhs: np.ndarray, tau2: jnp.ndarray,
                     stratc: jnp.ndarray, ta: jnp.ndarray, ts: jnp.ndarray,
                     fsfcd: jnp.ndarray, fsfcu: jnp.ndarray,
                     st4a1: jnp.ndarray, st4a2: jnp.ndarray,
@@ -134,8 +137,8 @@ def upward_longwave(dhs: np.ndarray, fband: jnp.ndarray, tau2: jnp.ndarray,
     refsfc = 1.0 - EMISFC
     slr = fsfcu - fsfcd
 
-    fb_ts = _fband_at(fband, ts)  # [il, ix, 4]
-    fb = _fband_at(fband, ta)
+    fb_ts = _fband_at(ts)  # [il, ix, 4]
+    fb = _fband_at(ta)
     fluxes = [fb_ts[..., jb] * fsfcu + refsfc * flux[jb]
               for jb in range(NBAND)]
 

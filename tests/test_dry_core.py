@@ -58,6 +58,7 @@ def dyn(cfg, geom_np, sc, bounds):
                      gc=build_geopotential(cfg, geom_np), phis=bounds.phis)
 
 
+@pytest.mark.smoke
 def test_geopotential_against_oracle(cfg, geom_np, dyn):
     """get_geopotential == literal per-level accumulation
     (geopotential.f90:33-57)."""
@@ -82,6 +83,7 @@ def test_geopotential_against_oracle(cfg, geom_np, dyn):
     np.testing.assert_allclose(np.asarray(phi), phi_o, atol=1e-10)
 
 
+@pytest.mark.smoke
 def test_implicit_matrices_are_inverses(cfg, geom_np):
     diff_np = build_diffusion_np(cfg, geom_np)
     tab = build_implicit_np(cfg, geom_np, diff_np, dt=2 * cfg.delt)
@@ -128,6 +130,7 @@ def test_implicit_terms_oracle(cfg, geom_np):
     assert np.abs(np.asarray(d)[:, 0, 0]).max() == 0.0
 
 
+@pytest.mark.smoke
 def test_rest_state_reference_values(cfg, geom_np, sp_tables, bounds, sc):
     state = rest_state(cfg, geom_np, sp_tables, bounds)
     diag = compute_diagnostics(sc, state.vor[0], state.div[0], state.t[0])

@@ -1,5 +1,6 @@
 """Calendar, namelist parsing, leapfrog-filter, and output-schema tests."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from speedy_tpu.config import t30
@@ -7,6 +8,7 @@ from speedy_tpu.utils import calendar as cal
 from speedy_tpu.cli import parse_namelist
 
 
+@pytest.mark.smoke
 def test_calendar_advance_and_leap_quirk():
     cfg = t30()
     d = cal.Datetime(1982, 1, 1, 0, 0)
@@ -31,6 +33,7 @@ def test_calendar_advance_and_leap_quirk():
     assert (d.month, d.day) == (3, 1)
 
 
+@pytest.mark.smoke
 def test_season_vars():
     imont1, tmonth, tyear = cal.season_vars(cal.Datetime(1982, 1, 1))
     assert imont1 == 1
@@ -40,6 +43,7 @@ def test_season_vars():
     np.testing.assert_allclose(tmonth, 15.5 / 31)
 
 
+@pytest.mark.smoke
 def test_interpolation_weights_partition():
     # both interpolators are convex-ish combinations summing to 1
     for tm in (0.1, 0.5, 0.9):
@@ -83,6 +87,7 @@ end_datetime%day      = 10
     assert nl["end_datetime%day"] == 10
 
 
+@pytest.mark.smoke
 def test_leapfrog_filter_oracle():
     """_step_field reproduces the literal Robert-Williams update
     (time_stepping.f90:142-167) for both bootstrap and filtered steps."""

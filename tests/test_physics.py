@@ -83,6 +83,12 @@ def test_fband_partition():
     # clamped outside
     np.testing.assert_array_equal(fband[0], fband[100])
     np.testing.assert_array_equal(fband[-1], fband[220])
+    # the model's direct evaluation (longwave._fband_at) must match the
+    # table lookup at nint(T) bit-for-bit in fp64 (the r03 perf change)
+    t = np.linspace(150.0, 370.0, 1201)
+    idx = np.clip(np.floor(t + 0.5).astype(int), 200, 320) - 100
+    direct = np.asarray(longwave._fband_at(jnp.asarray(t)))
+    np.testing.assert_array_equal(direct, fband[idx])
 
 
 def test_lsc_thresholds(cfg, geom):
@@ -185,14 +191,13 @@ def test_longwave_budget(cfg, geom, wvi2):
                                                    )[:, None, None, None]
                               * rng.uniform(0.5, 1.0, (4, kx, 1, n))))
     stratc = jnp.asarray(np.zeros((2, 1, n)))
-    fband = jnp.asarray(longwave.build_fband())
     slrd, dfabs, st4a1, st4a2, flux = longwave.downward_longwave(
-        wvi2, fband, tau2, ta)
+        wvi2, tau2, ta)
     assert np.all(np.asarray(slrd) > 0.0)
     ts = ta[kx - 1] + 2.0
     fsfcu = shortwave.EMISFC * 5.67e-8 * ts**4
     slr, olr, dfabs2 = longwave.upward_longwave(
-        geom["dhs"], fband, tau2, stratc, ta, ts, slrd, fsfcu,
+        geom["dhs"], tau2, stratc, ta, ts, slrd, fsfcu,
         st4a1, st4a2, flux, dfabs)
     # energy closure: net LW cooling of the column + OLR = net surface LW up
     lhs = np.asarray(olr) - np.asarray(slr)

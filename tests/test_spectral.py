@@ -9,6 +9,8 @@ from speedy_tpu.config import t30
 from speedy_tpu.geometry import build_geometry_np
 from speedy_tpu.ops import spectral as sp
 
+pytestmark = pytest.mark.smoke
+
 
 @pytest.fixture(scope="module")
 def cfg():

@@ -35,6 +35,7 @@ def ds32(model32):
                                       tyear)
 
 
+@pytest.mark.smoke
 def test_checkpoint_roundtrip(tmp_path, model32, state32):
     path = str(tmp_path / "ckpt.npz")
     date = cal.Datetime(1982, 1, 5, 12, 0)
