@@ -1,0 +1,616 @@
+"""Point-value tests transcribed directly from the Fortran SOURCE TEXT.
+
+Purpose (VERDICT r03, missing item 1): the 2-day parity test diffs the
+model against tests/oracle/, but model and oracle share one author, so a
+shared misreading of the Fortran would be invisible. Each test here
+contains an INDEPENDENT, self-contained transcription of the reference
+expressions — constants and formulas copied from the cited
+/root/reference/source file:line, evaluated loop-literally in fp64 at
+hand-checkable inputs — plus hand-computed literal numbers where the
+arithmetic is simple enough to verify on paper. No oracle code and no
+model helper is used to produce the expected values; the model's fp64
+output must match the transcription to roundoff.
+
+Covered high-risk routines (VERDICT item 6):
+  - solar declination/insolation   shortwave_radiation.f90:287-329
+  - implicit xf assembly chain     implicit.f90:62-158
+  - surface-flux stability branches + skin solve  surface_fluxes.f90:95-296
+  - LW downward band sweep + fband table  longwave_radiation.f90:16-117,197-220
+  - convection entrainment/mass flux      convection.f90:27-245
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+pytestmark = pytest.mark.smoke
+
+# ---------------------------------------------------------------------------
+# Constants transcribed from the reference source text (NOT imported from
+# speedy_tpu — that is the point).
+# physical_constants.f90:16-30
+REARTH = 6.371e6
+GRAV = 9.81
+P0 = 1.0e5
+CP = 1004.0
+AKAP = 2.0 / 7.0
+RGAS = AKAP * CP
+ALHC = 2501.0
+SBC = 5.67e-8
+# dynamical_constants.f90:12
+GAMMA = 6.0
+# mod_radcon.f90:24-27
+EPSLW = 0.05
+EMISFC = 0.98
+KX = 8
+
+
+def vertical_geometry():
+    """geometry.f90:47 (kx=8 half levels) + :51-55 + physics.f90:19-38."""
+    hsg = np.array([0.0, 0.05, 0.14, 0.26, 0.42, 0.60, 0.77, 0.90, 1.00])
+    dhs = hsg[1:] - hsg[:-1]
+    fsg = 0.5 * (hsg[1:] + hsg[:-1])
+    sigl = np.log(fsg)
+    # wvi weights (physics.f90:33-38); sigh(k) = hsg(k) (physics.f90:19-23)
+    wvi1 = np.zeros(KX)
+    wvi2 = np.zeros(KX)
+    for k in range(KX - 1):                       # 1-based k = 1..kx-1
+        wvi1[k] = 1.0 / (sigl[k + 1] - sigl[k])
+        wvi2[k] = (np.log(hsg[k + 1]) - sigl[k]) * wvi1[k]
+    wvi2[KX - 1] = (np.log(0.99) - sigl[KX - 1]) * wvi1[KX - 2]
+    return hsg, dhs, fsg, sigl, wvi2
+
+
+def ref_qsat(ta, ps, sig):
+    """humidity.f90:44-78, loop-literal (scalar/array, g/kg)."""
+    ta = np.asarray(ta, np.float64)
+    e0, c1, c2, t0, t1, t2 = 6.108e-3, 17.269, 21.875, 273.16, 35.86, 7.66
+    qsat = np.where(ta >= t0, e0 * np.exp(c1 * (ta - t0) / (ta - t1)),
+                    e0 * np.exp(c2 * (ta - t0) / (ta - t2)))
+    return 622.0 * qsat / (sig * np.asarray(ps) - 0.378 * qsat)
+
+
+# ---------------------------------------------------------------------------
+def test_solar_insolation_point_values():
+    """shortwave_radiation.f90:287-329 (subroutine solar).
+
+    At tyear = 0 the Fourier series collapses to pure decimal sums
+    (alpha = 0 so all cos terms are 1, all sin terms 0):
+      decl = 0.006918 - 0.399912 - 0.006758 - 0.002697 = -0.402449 rad
+      fdis = 1.000110 + 0.034221 + 0.000719        =  1.035050
+    and at the equator (sia=0, coa=1): ch0 = 0, h0 = pi/2, so
+      topsr = csol/pi * fdis * cos(decl)
+    With csol = 4*342 (shortwave_radiation.f90:252 topsr uses 4.*solc):
+      topsr_eq = 1368/pi * 1.035050 * cos(0.402449) = 414.7006647017...
+    """
+    from speedy_tpu.models.physics.shortwave import solar
+
+    lats = np.deg2rad(np.array([0.0, 45.0, -45.0, 80.0, -80.0]))
+    sia, coa = np.sin(lats), np.cos(lats)
+    csol = 4.0 * 342.0
+
+    got0 = solar(sia, coa, 0.0, csol)
+    # hand-computed literals (header of this test)
+    assert abs(-0.402449 - (0.006918 - 0.399912 - 0.006758 - 0.002697)) == 0.0
+    np.testing.assert_allclose(got0[0], 414.7006647017502, rtol=1e-13)
+    np.testing.assert_allclose(got0[1], 124.15416615064993, rtol=1e-13)
+
+    # full transcription at two times of year, all latitudes
+    for tyear in (0.0, 0.25, 0.6123):
+        pigr = 2.0 * np.arcsin(1.0)
+        alpha = 2.0 * pigr * tyear
+        ca1, sa1 = np.cos(alpha), np.sin(alpha)
+        ca2, sa2 = ca1 * ca1 - sa1 * sa1, 2.0 * sa1 * ca1
+        ca3, sa3 = ca1 * ca2 - sa1 * sa2, sa1 * ca2 + sa2 * ca1
+        decl = (0.006918 - 0.399912 * ca1 + 0.070257 * sa1 - 0.006758 * ca2
+                + 0.000907 * sa2 - 0.002697 * ca3 + 0.001480 * sa3)
+        fdis = (1.000110 + 0.034221 * ca1 + 0.001280 * sa1
+                + 0.000719 * ca2 + 0.000077 * sa2)
+        cdecl, sdecl = np.cos(decl), np.sin(decl)
+        tdecl = sdecl / cdecl
+        csolp = csol / pigr
+        expect = np.empty_like(sia)
+        for j in range(len(sia)):
+            ch0 = min(1.0, max(-1.0, -tdecl * sia[j] / coa[j]))
+            h0 = np.arccos(ch0)
+            sh0 = np.sin(h0)
+            expect[j] = csolp * fdis * (h0 * sia[j] * sdecl
+                                        + sh0 * coa[j] * cdecl)
+        np.testing.assert_allclose(solar(sia, coa, tyear, csol), expect,
+                                   rtol=1e-14)
+
+
+# ---------------------------------------------------------------------------
+def test_implicit_assembly_point_values():
+    """implicit.f90:62-158: tref profile, the xa..xe chain, and the
+    per-total-wavenumber xf matrices whose inverses the model stores.
+
+    Literal check: rgam = rgas*gamma/(1000*grav) = 0.17544779379641762 and
+    tref(1) = 288*0.2**rgam = 217.14995443460384 (fsg(1)=0.025 < 0.2 so the
+    max(0.2, fsg) clamp engages — implicit.f90:63).
+    """
+    from speedy_tpu.config import t30
+    from speedy_tpu.geometry import build_geometry_np
+    from speedy_tpu.models.hdiffusion import build_diffusion_np
+    from speedy_tpu.models.implicit import build_implicit_np
+
+    cfg = t30(precision="fp64")
+    geom = build_geometry_np(cfg)
+    diff = build_diffusion_np(cfg, geom)
+    dt = 2.0 * cfg.delt          # the steady-state 2*delt matrices
+    got = build_implicit_np(cfg, geom, diff, dt)
+
+    hsg, dhs, fsg, sigl, _ = vertical_geometry()
+    kx, mx, nx = KX, cfg.mx, cfg.nx
+    alph = 0.5                                   # params.f90:37
+
+    # tref (implicit.f90:62-67)
+    rgam = RGAS * GAMMA / (1000.0 * GRAV)
+    assert rgam == 0.17544779379641762
+    tref = 288.0 * np.maximum(0.2, fsg) ** rgam
+    assert tref[0] == 217.14995443460384
+    np.testing.assert_array_equal(got["tref"], tref)
+    np.testing.assert_array_equal(got["tref1"], RGAS * tref)
+    np.testing.assert_array_equal(got["tref2"], AKAP * tref)
+
+    xi = dt * alph
+    # ya/xa (implicit.f90:83-97); xa column kx never read (k2 loop to kx-1)
+    ya = np.zeros((kx, kx))
+    for k in range(kx):
+        for k1 in range(kx):
+            ya[k, k1] = -AKAP * tref[k] * dhs[k1]
+    xa = np.zeros((kx, kx))
+    for k in range(1, kx):       # 1-based k=2..kx
+        xa[k, k - 1] = 0.5 * (AKAP * tref[k] / fsg[k]
+                              - (tref[k] - tref[k - 1]) / dhs[k])
+    for k in range(kx - 1):      # 1-based k=1..kx-1
+        xa[k, k] = 0.5 * (AKAP * tref[k] / fsg[k]
+                          - (tref[k + 1] - tref[k]) / dhs[k])
+    # xb (implicit.f90:99-110)
+    dsum = np.cumsum(dhs)
+    xb = np.zeros((kx, kx))
+    for k in range(kx - 1):
+        for k1 in range(kx):
+            xb[k, k1] = dhs[k1] * dsum[k]
+            if k1 <= k:
+                xb[k, k1] -= dhs[k1]
+    # xc (implicit.f90:112-120): k2 sum runs 1..kx-1 only
+    xc = np.zeros((kx, kx))
+    for k in range(kx):
+        for k1 in range(kx):
+            xc[k, k1] = ya[k, k1]
+            for k2 in range(kx - 1):
+                xc[k, k1] += xa[k, k2] * xb[k2, k1]
+    # xd (implicit.f90:122-132)
+    xd = np.zeros((kx, kx))
+    for k in range(kx):
+        for k1 in range(k + 1, kx):
+            xd[k, k1] = RGAS * np.log(hsg[k1 + 1] / hsg[k1])
+        xd[k, k] = RGAS * np.log(hsg[k + 1] / fsg[k])
+    # xe (implicit.f90:134-142)
+    xe = xd @ xc
+
+    np.testing.assert_allclose(got["xd"], xd, rtol=1e-14)
+    # the model computes xc via matmul (different summation order than the
+    # Fortran triple loop), so analytically-zero entries carry ~1e-12
+    # roundoff on O(1e5) terms: compare with a norm-scaled atol
+    np.testing.assert_allclose(got["xc"], xc * xi, rtol=1e-13,
+                               atol=1e-13 * np.abs(xc * xi).max())
+    np.testing.assert_allclose(got["dhsx"], xi * dhs, rtol=1e-15)
+
+    # elz(m,n) = (m+n-2)(m+n-1) * xi/a^2  (implicit.f90:75-79)
+    for (m, n) in ((1, 1), (2, 5), (31, 32)):    # 1-based corners
+        ell = m + n - 2
+        np.testing.assert_allclose(
+            got["elz"][m - 1, n - 1],
+            ell * (ell + 1) * xi / REARTH**2, rtol=1e-15)
+
+    # xf (implicit.f90:144-158): model stores xj = inv(xf) at [m-1, n-1]
+    # keyed by l = m+n-2; verify xj @ xf_transcribed == I.
+    for (m, n) in ((1, 2), (2, 1), (5, 7), (31, 32), (1, 32), (31, 1)):
+        ell = m + n - 2
+        xxx = float(ell) * float(ell + 1) / (REARTH * REARTH)
+        xf = np.empty((kx, kx))
+        for k in range(kx):
+            for k1 in range(kx):
+                xf[k, k1] = xi * xi * xxx * (RGAS * tref[k] * dhs[k1]
+                                             - xe[k, k1])
+            xf[k, k] += 1.0
+        resid = got["xj"][m - 1, n - 1] @ xf - np.eye(kx)
+        assert np.abs(resid).max() < 1e-12, (m, n, np.abs(resid).max())
+    # l = 0 (the global mean) is zeroed, not inverted (implicit.f90:200)
+    np.testing.assert_array_equal(got["xj"][0, 0], 0.0)
+
+
+# ---------------------------------------------------------------------------
+def test_surface_flux_point_values():
+    """surface_fluxes.f90:95-296 at 4 hand-built columns covering both
+    temperature-extrapolation branches (:127-137: lowest-level inversion ->
+    use ta(kx); lapse -> blend with ftemp0=1 so the actual-lapse t1 wins)
+    and both stability branches of the potential-temperature correction
+    (:158-164: unstable capped at +dtheta, stable scaled by astab=0.5 and
+    capped at -dtheta), plus the land skin-temperature energy-balance
+    update (:196-231) and the sea pass (:237-278) with its literal
+    '+ shf + alhc*evap' sign (:278)."""
+    from speedy_tpu.models.physics import surface as sfc_mod
+
+    hsg, dhs, fsg, sigl, wvi2 = vertical_geometry()
+    kx, nl1 = KX, KX - 1
+    n = 4
+    # constants from surface_fluxes.f90:21-36
+    fwind0, ftemp0 = 0.95, 1.0
+    cdl, cds, chl, chs = 2.4e-3, 1.0e-3, 1.2e-3, 0.9e-3
+    vgust, ctday, dtheta, fstab = 5.0, 1.0e-2, 3.0, 0.67
+    clambda, clambsn = 7.0, 7.0
+
+    # hand-built inputs [il=1, ix=n] (Fortran (ix,il) -> model [il,ix])
+    ta = np.zeros((kx, 1, n))
+    ta[:, 0, :] = 288.0 * np.maximum(0.3, fsg)[:, None] ** 0.28
+    # col 0: inversion at the bottom (ta(kx) < ta(nl1)) -> t1 = ta(kx)
+    ta[kx - 1, 0, 0] = ta[nl1 - 1, 0, 0] - 2.0
+    # cols 1-3: lapse (ta(kx) > ta(nl1)) -> extrapolated branch
+    ta[kx - 1, 0, 1:] = ta[nl1 - 1, 0, 1:] + 4.0
+    ua = np.zeros((kx, 1, n)); ua[kx - 1, 0] = [3.0, -5.0, 8.0, 1.0]
+    va = np.zeros((kx, 1, n)); va[kx - 1, 0] = [-2.0, 4.0, 0.5, -7.0]
+    qa = np.zeros((kx, 1, n)); qa[kx - 1, 0] = [6.0, 8.0, 2.0, 9.0]
+    psa = np.array([[1.0, 0.97, 1.02, 0.99]])
+    phi = np.zeros((kx, 1, n))
+    phi[kx - 1, 0] = GRAV * 420.0          # lowest full-level geopotential
+    phi0 = np.array([[0.0, GRAV * 800.0, 0.0, GRAV * 300.0]])
+    fmask = np.array([[0.0, 1.0, 0.5, 1.0]])
+    stl_am = np.array([[285.0, 305.0, 284.0, 260.0]])  # col1 unstable cap,
+    tsea = np.array([[284.0, 283.0, 302.0, 270.0]])    # col3 stable cap
+    soilw = np.array([[0.4, 0.9, 0.6, 0.2]])
+    alb_l = np.array([[0.1, 0.3, 0.2, 0.7]])
+    alb_s = np.array([[0.07, 0.07, 0.07, 0.5]])
+    snowc = np.array([[0.0, 0.0, 0.3, 1.0]])
+    ssrd = np.array([[300.0, 150.0, 250.0, 20.0]])
+    slrd = np.array([[350.0, 320.0, 380.0, 180.0]])
+    coa = np.array([0.8])
+    forog = np.array([[1.0, 1.2, 1.05, 1.1]])
+
+    # ---- transcription (loop-literal over the n columns) ----
+    u0 = fwind0 * ua[kx - 1]
+    v0 = fwind0 * va[kx - 1]
+    gtemp0 = 1.0 - ftemp0
+    rcp = 1.0 / CP
+    t1 = np.zeros((2, 1, n)); t2 = np.zeros((2, 1, n))
+    for i in range(n):
+        dt1 = wvi2[kx - 1] * (ta[kx - 1, 0, i] - ta[nl1 - 1, 0, i])
+        t1[0, 0, i] = ta[kx - 1, 0, i] + dt1                       # land
+        t1[1, 0, i] = t1[0, 0, i] - phi0[0, i] * dt1 / (
+            RGAS * 288.0 * sigl[kx - 1])                           # sea
+        t2[1, 0, i] = ta[kx - 1, 0, i] + rcp * phi[kx - 1, 0, i]
+        t2[0, 0, i] = t2[1, 0, i] - rcp * phi0[0, i]
+    for i in range(n):
+        if ta[kx - 1, 0, i] > ta[nl1 - 1, 0, i]:
+            t1[0, 0, i] = ftemp0 * t1[0, 0, i] + gtemp0 * t2[0, 0, i]
+            t1[1, 0, i] = ftemp0 * t1[1, 0, i] + gtemp0 * t2[1, 0, i]
+        else:
+            t1[0, 0, i] = ta[kx - 1, 0, i]
+            t1[1, 0, i] = ta[kx - 1, 0, i]
+    t0 = t1[1] + fmask * (t1[0] - t1[1])
+    denvvs0 = (P0 * psa / (RGAS * t0)) * np.sqrt(u0**2 + v0**2 + vgust**2)
+
+    # land pass (:146-231)
+    tskin = stl_am + ctday * np.sqrt(coa[0]) * ssrd * (1.0 - alb_l) * psa
+    rdth = fstab / dtheta
+    astab = 0.5                                  # lscasym = .true.
+    dthl = np.where(tskin > t2[0],
+                    np.minimum(dtheta, tskin - t2[0]),
+                    np.maximum(-dtheta, astab * (tskin - t2[0])))
+    denvvs1 = denvvs0 * (1.0 + dthl * rdth)
+    cdldv = cdl * denvvs0 * forog
+    ustr_l, vstr_l = -cdldv * ua[kx - 1], -cdldv * va[kx - 1]
+    chlcp = chl * CP
+    shf_l = chlcp * denvvs1 * (tskin - t1[0])
+    q1 = qa[kx - 1]                              # fhum0 = 0 branch (:187)
+    qsat0 = ref_qsat(tskin, psa, 1.0)
+    evap_l = chl * denvvs1 * np.maximum(0.0, soilw * qsat0 - q1)
+    esbc = EMISFC * SBC
+    tsk3 = tskin**3
+    dslr = 4.0 * esbc * tsk3
+    slru_l = esbc * tsk3 * tskin
+    hflux_l = ssrd * (1.0 - alb_l) + slrd - (slru_l + shf_l + ALHC * evap_l)
+    clamb = clambda + snowc * (clambsn - clambda)
+    hflux_l = hflux_l - clamb * (tskin - stl_am)
+    qsat1 = ref_qsat(tskin + 1.0, psa, 1.0)
+    dqs = np.where(evap_l > 0.0, soilw * (qsat1 - qsat0), 0.0)
+    dtskin = hflux_l / (clamb + dslr + chl * denvvs1 * (CP + ALHC * dqs))
+    tskin = tskin + dtskin
+    shf_l = shf_l + chlcp * denvvs1 * dtskin
+    evap_l = evap_l + chl * denvvs1 * dqs * dtskin
+    slru_l = slru_l + dslr * dtskin
+    hflux_l = clamb * (tskin - stl_am)
+
+    # sea pass (:237-278)
+    dths = np.where(tsea > t2[1],
+                    np.minimum(dtheta, tsea - t2[1]),
+                    np.maximum(-dtheta, astab * (tsea - t2[1])))
+    denvvs2 = denvvs0 * (1.0 + dths * rdth)
+    cdsdv = cds * denvvs2
+    ustr_s, vstr_s = -cdsdv * ua[kx - 1], -cdsdv * va[kx - 1]
+    shf_s = chs * CP * denvvs2 * (tsea - t1[1])
+    qsat_s = ref_qsat(tsea, psa, 1.0)
+    evap_s = chs * denvvs2 * (qsat_s - q1)
+    slru_s = esbc * tsea**4
+    hflux_s = (ssrd * (1.0 - alb_s) + slrd - slru_s + shf_s
+               + ALHC * evap_s)                  # literal sign, :278
+
+    # sanity: the intended branches actually triggered
+    assert t0[0, 0] == ta[kx - 1, 0, 0]          # inversion branch
+    assert dthl[0, 1] == dtheta                  # unstable cap (land)
+    assert dths[0, 3] == -dtheta                 # stable cap (sea)
+
+    # ---- model ----
+    j = jnp.asarray
+    fl, saved = sfc_mod.surface_fluxes(
+        float(wvi2[kx - 1]), float(sigl[kx - 1]), j(forog), j(coa),
+        j(stl_am), j(soilw), j(alb_l), j(alb_s), j(snowc), j(psa),
+        j(ua), j(va), j(ta), j(qa), None, j(phi), j(phi0), j(fmask),
+        j(tsea), j(ssrd), j(slrd))
+
+    def close(a, b, name):
+        np.testing.assert_allclose(np.asarray(a), b, rtol=1e-13, atol=1e-13,
+                                   err_msg=name)
+    close(fl.u0, u0, "u0"); close(fl.v0, v0, "v0"); close(fl.t0, t0, "t0")
+    close(fl.ustr[0], ustr_l, "ustr_l"); close(fl.ustr[1], ustr_s, "ustr_s")
+    close(fl.vstr[0], vstr_l, "vstr_l"); close(fl.vstr[1], vstr_s, "vstr_s")
+    close(fl.shf[0], shf_l, "shf_l"); close(fl.shf[1], shf_s, "shf_s")
+    close(fl.evap[0], evap_l, "evap_l"); close(fl.evap[1], evap_s, "evap_s")
+    close(fl.slru[0], slru_l, "slru_l"); close(fl.slru[1], slru_s, "slru_s")
+    close(fl.hfluxn[0], hflux_l, "hfluxn_l")
+    close(fl.hfluxn[1], hflux_s, "hfluxn_s")
+    close(fl.tskin, tsea + fmask * (tskin - tsea), "tskin blend")
+    close(fl.tsfc, tsea + fmask * (stl_am - tsea), "tsfc blend")
+    close(fl.shf[2], shf_s + fmask * (shf_l - shf_s), "shf blend")
+    close(saved.denvvs_sea, denvvs2, "saved denvvs")
+    close(saved.t1_sea, t1[1], "saved t1 sea")
+
+
+# ---------------------------------------------------------------------------
+def test_longwave_downward_point_values():
+    """longwave_radiation.f90:16-117 (downward sweep) + the fband table
+    (:197-220), both transcribed loop-literally for one 4-column band of
+    temperatures spanning the table clamp (T < 200 K aloft)."""
+    from speedy_tpu.models.physics import longwave as lw_mod
+
+    hsg, dhs, fsg, sigl, wvi2 = vertical_geometry()
+    kx, nl1 = KX, KX - 1
+    n = 4
+
+    # fband table (longwave_radiation.f90:197-220)
+    fband = np.zeros((401, 4))                   # index by T directly
+    eps1 = 1.0 - EPSLW
+    for jtemp in range(200, 321):
+        fband[jtemp, 1] = (0.148 - 3.0e-6 * (jtemp - 247)**2) * eps1
+        fband[jtemp, 2] = (0.356 - 5.2e-6 * (jtemp - 282)**2) * eps1
+        fband[jtemp, 3] = (0.314 + 1.0e-5 * (jtemp - 315)**2) * eps1
+        fband[jtemp, 0] = eps1 - (fband[jtemp, 1] + fband[jtemp, 2]
+                                  + fband[jtemp, 3])
+    for jb in range(4):
+        fband[100:200, jb] = fband[200, jb]
+        fband[321:, jb] = fband[320, jb]
+
+    rng = np.random.default_rng(11)
+    ta = np.zeros((kx, 1, n))
+    ta[:, 0, :] = (288.0 * np.maximum(0.3, fsg)[:, None]**0.28
+                   + rng.normal(0.0, 2.0, (kx, n)))
+    ta[0] = 195.0                                # exercises the clamp
+    tau2 = rng.uniform(0.3, 0.999, (4, kx, 1, n))
+
+    # ---- transcription (loop-literal; 3-d work arrays [k]) ----
+    st4a = np.zeros((kx, 1, n, 2))
+    # half-level temperatures (:37-40)
+    for k in range(kx - 1):                      # 1-based 1..kx-1
+        st4a[k, :, :, 0] = ta[k] + wvi2[k] * (ta[k + 1] - ta[k])
+    # stratospheric temps / tropospheric gradients (:42-53)
+    st4a[0, :, :, 1] = 0.75 * ta[0] + 0.25 * st4a[0, :, :, 0]
+    st4a[1, :, :, 1] = 0.50 * ta[1] + 0.25 * (st4a[0, :, :, 0]
+                                              + st4a[1, :, :, 0])
+    for k in range(2, nl1):                      # 1-based 3..kx-1
+        st4a[k, :, :, 1] = 0.5 * np.maximum(
+            st4a[k, :, :, 0] - st4a[k - 1, :, :, 0], 0.0)
+    st4a[kx - 1, :, :, 1] = np.maximum(
+        ta[kx - 1] - st4a[nl1 - 1, :, :, 0], 0.0)
+    # blackbody emission (:55-66)
+    for k in range(2):
+        st4a[k, :, :, 0] = SBC * st4a[k, :, :, 1]**4
+        st4a[k, :, :, 1] = 0.0
+    for k in range(2, kx):
+        st3a = SBC * ta[k]**3
+        st4a[k, :, :, 0] = st3a * ta[k]
+        st4a[k, :, :, 1] = 4.0 * st3a * st4a[k, :, :, 1]
+
+    def nint(x):                                 # Fortran nint, positive T
+        return int(np.floor(x + 0.5))
+
+    fsfcd = np.zeros((1, n))
+    dfabs = np.zeros((kx, 1, n))
+    flux = np.zeros((4, 1, n))
+    # 3.1 stratosphere k=1, bands 1-2 (:78-89)
+    for jb in range(2):
+        for i in range(n):
+            emis = 1.0 - tau2[jb, 0, 0, i]
+            brad = fband[nint(ta[0, 0, i]), jb] * (
+                st4a[0, 0, i, 0] + emis * st4a[0, 0, i, 1])
+            flux[jb, 0, i] = emis * brad
+            dfabs[0, 0, i] -= flux[jb, 0, i]
+    # 3.2 troposphere (:93-105)
+    for jb in range(4):
+        for k in range(1, kx):
+            for i in range(n):
+                emis = 1.0 - tau2[jb, k, 0, i]
+                brad = fband[nint(ta[k, 0, i]), jb] * (
+                    st4a[k, 0, i, 0] + emis * st4a[k, 0, i, 1])
+                dfabs[k, 0, i] += flux[jb, 0, i]
+                flux[jb, 0, i] = tau2[jb, k, 0, i] * flux[jb, 0, i] \
+                    + emis * brad
+                dfabs[k, 0, i] -= flux[jb, 0, i]
+    # 3.3 + 3.4 (:108-116)
+    for jb in range(4):
+        fsfcd += EMISFC * flux[jb]
+    corlw = EPSLW * EMISFC * st4a[kx - 1, :, :, 0]
+    dfabs[kx - 1] -= corlw
+    fsfcd += corlw
+
+    # ---- model ----
+    slrd_m, dfabs_m, st4a1_m, st4a2_m, flux_m = lw_mod.downward_longwave(
+        jnp.asarray(wvi2), jnp.asarray(tau2), jnp.asarray(ta))
+    np.testing.assert_allclose(np.asarray(slrd_m), fsfcd, rtol=1e-13)
+    np.testing.assert_allclose(np.asarray(dfabs_m), dfabs, rtol=1e-12,
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(flux_m), flux, rtol=1e-13)
+    np.testing.assert_allclose(np.asarray(st4a1_m), st4a[:, :, :, 0],
+                               rtol=1e-13)
+
+
+# ---------------------------------------------------------------------------
+def test_convection_point_values():
+    """convection.f90:27-245: diagnosis (checks 1-3), entrainment profile,
+    cloud-base mass flux, and the full downward flux sweep, transcribed
+    loop-literally for 3 columns (deep convective / non-convective /
+    RH-threshold shallow case)."""
+    from speedy_tpu.models.physics import convection as cnv_mod
+
+    hsg, dhs, fsg, sigl, wvi2 = vertical_geometry()
+    kx, nl1, nlp = KX, KX - 1, KX + 1
+    n = 3
+    psmin, trcnv, rhbl, rhil = 0.8, 6.0, 0.9, 0.7
+    entmax, smf = 0.5, 0.8
+    fqmax = 5.0
+    fm0 = P0 * dhs[kx - 1] / (GRAV * trcnv * 3600.0)
+    rdps = 2.0 / (1.0 - psmin)
+
+    # hand-built columns [kx, 1, n]
+    psa = np.array([[1.0, 1.0, 0.95]])
+    t_prof = 288.0 * np.maximum(0.3, fsg)**0.28
+    se = CP * t_prof[:, None, None] + GRAV * np.linspace(
+        14000.0, 300.0, kx)[:, None, None]
+    se = np.broadcast_to(se, (kx, 1, n)).copy()
+    qsat = ref_qsat(t_prof[:, None, None] * np.ones((kx, 1, n)), psa,
+                    fsg[:, None, None])
+    qa = np.zeros((kx, 1, n))
+    # col 0: deep convection — very moist PBL, moist next level
+    qa[:, 0, 0] = 0.2 * qsat[:, 0, 0]
+    qa[kx - 1, 0, 0] = 0.98 * qsat[kx - 1, 0, 0]
+    qa[nl1 - 1, 0, 0] = 0.95 * qsat[nl1 - 1, 0, 0]
+    # make the column conditionally unstable: inflate PBL static energy
+    se[kx - 1, 0, 0] += 9000.0
+    se[nl1 - 1, 0, 0] += 5000.0
+    # col 1: dry stable column — no convection
+    qa[:, 0, 1] = 0.1 * qsat[:, 0, 1]
+    # col 2: conditional instability + RH threshold (check 3) case
+    qa[:, 0, 2] = 0.3 * qsat[:, 0, 2]
+    qa[kx - 1, 0, 2] = 0.93 * qsat[kx - 1, 0, 2]
+    qa[nl1 - 1, 0, 2] = 0.92 * qsat[nl1 - 1, 0, 2]
+    se[kx - 1, 0, 2] += 6000.0
+
+    # ---- transcription ----
+    # entrainment profile (convection.f90:62-70)
+    entr = np.zeros(kx)                          # 1-based k=2..kx-1
+    sentr = 0.0
+    for k in range(1, nl1):
+        entr[k] = max(0.0, fsg[k] - 0.5)**2
+        sentr += entr[k]
+    sentr = entmax / sentr
+    entr[1:nl1] *= sentr
+
+    # diagnose_convection (:170-245)
+    mss = se + ALHC * qsat
+    itop_e = np.full((1, n), nlp, int)
+    qdif_e = np.zeros((1, n))
+    rlhc = 1.0 / ALHC
+    for i in range(n):
+        if psa[0, i] > psmin:
+            mse0 = se[kx - 1, 0, i] + ALHC * qa[kx - 1, 0, i]
+            mse1 = min(mse0, se[nl1 - 1, 0, i] + ALHC * qa[nl1 - 1, 0, i])
+            mss0 = max(mse0, mss[kx - 1, 0, i])
+            ktop1 = kx
+            ktop2 = kx
+            msthr = 0.0
+            for k in range(kx - 3, 2, -1):       # 1-based kx-3 .. 3
+                k0 = k - 1                       # 0-based
+                mss2 = mss[k0, 0, i] + wvi2[k0] * (mss[k0 + 1, 0, i]
+                                                   - mss[k0, 0, i])
+                if mss0 > mss2:
+                    ktop1 = k
+                if mse1 > mss2:
+                    ktop2 = k
+                    msthr = mss2
+            if ktop1 < kx:
+                qthr0 = rhbl * qsat[kx - 1, 0, i]
+                qthr1 = rhbl * qsat[nl1 - 1, 0, i]
+                lqthr = (qa[kx - 1, 0, i] > qthr0
+                         and qa[nl1 - 1, 0, i] > qthr1)
+                if ktop2 < kx:
+                    itop_e[0, i] = ktop1
+                    qdif_e[0, i] = max(qa[kx - 1, 0, i] - qthr0,
+                                       (mse0 - msthr) * rlhc)
+                elif lqthr:
+                    itop_e[0, i] = ktop1
+                    qdif_e[0, i] = qa[kx - 1, 0, i] - qthr0
+
+    # tendencies (:27-158)
+    cbmf_e = np.zeros((1, n)); precnv_e = np.zeros((1, n))
+    dfse_e = np.zeros((kx, 1, n)); dfqa_e = np.zeros((kx, 1, n))
+    for i in range(n):
+        if itop_e[0, i] == nlp:
+            continue
+        k = kx; k1 = k - 1                       # 1-based
+        qmax = max(1.01 * qa[k - 1, 0, i], qsat[k - 1, 0, i])
+        sb = se[k1 - 1, 0, i] + wvi2[k1 - 1] * (se[k - 1, 0, i]
+                                                - se[k1 - 1, 0, i])
+        qb = qa[k1 - 1, 0, i] + wvi2[k1 - 1] * (qa[k - 1, 0, i]
+                                                - qa[k1 - 1, 0, i])
+        qb = min(qb, qa[k - 1, 0, i])
+        fpsa = psa[0, i] * min(1.0, (psa[0, i] - psmin) * rdps)
+        fmass = fm0 * fpsa * min(fqmax, qdif_e[0, i] / (qmax - qb))
+        cbmf_e[0, i] = fmass
+        fus, fuq = fmass * se[k - 1, 0, i], fmass * qmax
+        fds, fdq = fmass * sb, fmass * qb
+        dfse_e[k - 1, 0, i] = fds - fus
+        dfqa_e[k - 1, 0, i] = fdq - fuq
+        for k in range(kx - 1, itop_e[0, i], -1):   # 1-based
+            k1 = k - 1
+            dfse_e[k - 1, 0, i] = fus - fds
+            dfqa_e[k - 1, 0, i] = fuq - fdq
+            enmass = entr[k - 1] * psa[0, i] * cbmf_e[0, i]
+            fmass += enmass
+            fus += enmass * se[k - 1, 0, i]
+            fuq += enmass * qa[k - 1, 0, i]
+            sb = se[k1 - 1, 0, i] + wvi2[k1 - 1] * (se[k - 1, 0, i]
+                                                    - se[k1 - 1, 0, i])
+            qb = qa[k1 - 1, 0, i] + wvi2[k1 - 1] * (qa[k - 1, 0, i]
+                                                    - qa[k1 - 1, 0, i])
+            fds, fdq = fmass * sb, fmass * qb
+            dfse_e[k - 1, 0, i] += fds - fus
+            dfqa_e[k - 1, 0, i] += fdq - fuq
+            delq = rhil * qsat[k - 1, 0, i] - qa[k - 1, 0, i]
+            if delq > 0.0:
+                fsq = smf * cbmf_e[0, i] * delq
+                dfqa_e[k - 1, 0, i] += fsq
+                dfqa_e[kx - 1, 0, i] -= fsq
+        k = itop_e[0, i]
+        qsatb = qsat[k - 1, 0, i] + wvi2[k - 1] * (qsat[k, 0, i]
+                                                   - qsat[k - 1, 0, i])
+        precnv_e[0, i] = max(fuq - fmass * qsatb, 0.0)
+        dfse_e[k - 1, 0, i] = fus - fds + ALHC * precnv_e[0, i]
+        dfqa_e[k - 1, 0, i] = fuq - fdq - precnv_e[0, i]
+
+    # the three columns exercise the intended branches
+    assert itop_e[0, 0] < kx and itop_e[0, 1] == nlp
+    assert itop_e[0, 2] < kx
+
+    # ---- model ----
+    itop_m, cbmf_m, precnv_m, dfse_m, dfqa_m = cnv_mod.convection(
+        jnp.asarray(fsg), jnp.asarray(dhs), jnp.asarray(wvi2),
+        jnp.asarray(psa), jnp.asarray(se), jnp.asarray(qa),
+        jnp.asarray(qsat))
+    np.testing.assert_array_equal(np.asarray(itop_m), itop_e)
+    np.testing.assert_allclose(np.asarray(cbmf_m), cbmf_e, rtol=1e-13)
+    np.testing.assert_allclose(np.asarray(precnv_m), precnv_e, rtol=1e-13,
+                               atol=1e-13)
+    np.testing.assert_allclose(np.asarray(dfse_m), dfse_e, rtol=1e-12,
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(dfqa_m), dfqa_e, rtol=1e-12,
+                               atol=1e-12)
