@@ -88,6 +88,10 @@ def main(argv=None):
     e.add_argument("--output-dir", default="rundir_ens",
                    help="per-member final-state NetCDF output directory")
     e.add_argument("--no-output", action="store_true")
+    e.add_argument("--output-every-step", action="store_true",
+                   help="write every member's grid fields every step "
+                        "(memberNNN/yyyymmddhhmm.nc, the reference's one-"
+                        "file-per-step schema per member)")
 
     args = p.parse_args(argv)
 
@@ -114,12 +118,31 @@ def main(argv=None):
         print(f"speedy_tpu ensemble: {args.members} members, "
               f"{args.days} days, {args.preset.upper()}"
               + (f", {n_dev}-device dp mesh" if mesh else ""))
+        writers = None
+        if args.output_every_step and not args.no_output:
+            def make_writer(i):
+                d = os.path.join(args.output_dir, f"member{i:03d}")
+                try:
+                    from .utils.native_output import AsyncNetCDFWriter
+                    return AsyncNetCDFWriter(cfg, d)
+                except Exception:
+                    from .utils.output import NetCDFWriter
+                    return NetCDFWriter(cfg, d)
+            writers = [make_writer(i) for i in range(args.members)]
         t0 = time.time()
         estate = ens.initialize(args.start)
-        estate, end_date = ens.run_days(estate, args.start, args.days)
+        estate, end_date = ens.run_days(estate, args.start, args.days,
+                                        output_writers=writers)
         jax.block_until_ready(estate.prog.vor)
+        if writers is not None:
+            for w in writers:
+                if hasattr(w, "drain"):
+                    w.drain()
         print(f"done at {end_date} in {time.time() - t0:.1f}s")
-        if not args.no_output:
+        if writers is not None:
+            print(f"wrote per-step member files to {args.output_dir}/"
+                  f"memberNNN/")
+        if not args.no_output and writers is None:
             from .utils.output import NetCDFWriter
             for i in range(args.members):
                 w = NetCDFWriter(cfg, os.path.join(args.output_dir,

@@ -148,7 +148,25 @@ def t63(**kw) -> ModelConfig:
     return ModelConfig(**kw).validate()
 
 
-PRESETS = {"t30": t30, "t42": t42, "t63": t63, "t85": t85}
+def t170(**kw) -> ModelConfig:
+    """North-star stretch preset: T170, 512x256, 8 levels (dt=450 s).
+
+    The scale where sharded-Legendre tensor parallelism pays off: the cpol
+    tables are ~40x T30 and the transform einsums fill full MXU tiles
+    (BASELINE.json north_star "T85/T170"; reference scale hook:
+    source/params.f90:19-27 + legendre.f90:74-155). Boundary files are
+    regridded from the T30 set like the other presets; nsteps=192 keeps
+    the leapfrog advectively stable at the ~78 km equatorial spacing
+    (dt scales ~1/trunc from the T30 reference value).
+    """
+    kw.setdefault("trunc", 170)
+    kw.setdefault("ix", 512)
+    kw.setdefault("il", 256)
+    kw.setdefault("nsteps", 192)
+    return ModelConfig(**kw).validate()
+
+
+PRESETS = {"t30": t30, "t42": t42, "t63": t63, "t85": t85, "t170": t170}
 
 
 def from_preset(name: str, **kw) -> ModelConfig:

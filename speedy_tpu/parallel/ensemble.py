@@ -63,9 +63,23 @@ class Ensemble:
         return estate
 
     def run_days(self, estate: ModelState, start: cal.Datetime,
-                 n_days: int) -> Tuple[ModelState, cal.Datetime]:
-        """Advance all members n_days; returns (state, end date)."""
+                 n_days: int, output_writers=None, model_step: int = 0
+                 ) -> Tuple[ModelState, cal.Datetime]:
+        """Advance all members n_days; returns (state, end date).
+
+        ``output_writers``: optional list of n per-member writer callables
+        with the model.run signature ``writer(step, date, start, fields)``
+        (e.g. one NetCDFWriter per memberNNN/ directory). When given, every
+        step's grid fields for every member are written — the ensemble
+        analog of the reference's one-file-per-step output contract
+        (input_output.f90:95-217). The day's grids come back in ONE bulk
+        device->host fetch ([members, nsteps, ...] per field), the same
+        batching model.run uses (per-slice fetches cost a host round trip
+        each on a tunneled backend).
+        """
         model, cfg = self.model, self.model.cfg
+        if output_writers is not None:
+            assert len(output_writers) == self.n
         date = start
         for _ in range(n_days):
             imont1, tmonth, tyear = cal.season_vars(date, cfg.iseasc,
@@ -76,10 +90,20 @@ class Ensemble:
                                             tmonth, tyear, year=date.year,
                                             imont1_next=im_n,
                                             tmonth_next=tm_n)
-            estate, _ = self._run_jit(model.mc, estate, ds,
-                                      collect_output=False)
-            for _ in range(cfg.nsteps):
+            collect = output_writers is not None
+            estate, ys = self._run_jit(model.mc, estate, ds,
+                                       collect_output=collect)
+            if collect:
+                _, grids = ys
+                grids = {k: np.asarray(v) for k, v in grids.items()}
+            day_start = date
+            for i in range(cfg.nsteps):
                 date = cal.newdate(date, cfg.nsteps)
+                if collect:
+                    for m, w in enumerate(output_writers):
+                        w(model_step + i + 1, date, start,
+                          {k: v[m, i] for k, v in grids.items()})
+            model_step += cfg.nsteps
         return estate, date
 
     def member_fields(self, estate: ModelState, member: int) -> dict:

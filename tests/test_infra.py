@@ -301,3 +301,34 @@ def test_regional_sea_domains():
     assert frac.size > 0
     # zero outside |lat|<25 and outside 155E..300W
     assert np.all(dmask[np.abs(deglat) >= 25.0] == 0.0)
+
+
+def test_t170_tables_and_roundtrip():
+    """North-star stretch scale (BASELINE.json "T85/T170"; reference scale
+    hook params.f90:19-27 + legendre.f90:74-155): the T170 preset's spectral
+    tables build and the transform pair round-trips band-limited fields.
+    At this scale nx=172 and il=256 both divide sp=4, so the sharded path
+    is the divisible n-shard scheme (unlike T85's TP-contraction fallback);
+    the sharded-step equivalence lives in test_state_mgmt.py."""
+    import numpy as np
+    from speedy_tpu.config import t170
+    from speedy_tpu.geometry import build_geometry_np
+    from speedy_tpu.ops import spectral as sp
+
+    cfg = t170(precision="fp64")
+    assert cfg.nsteps == 192 and cfg.delt == 450.0
+    assert cfg.ix >= 2 * cfg.mx
+    assert cfg.nx % 4 == 0 and cfg.il % 4 == 0
+    geom = build_geometry_np(cfg)
+    sc = sp.build_spectral(cfg, geom)
+    rng = np.random.default_rng(3)
+    spec = rng.normal(size=(cfg.mx, cfg.nx, 2))
+    spec[0, :, 1] = 0.0
+    spec = np.asarray(spec * np.asarray(sc.trfilt)[..., None])
+    grid = sp.spec_to_grid(sc, spec)
+    spec2 = sp.grid_to_spec(sc, grid)
+    m0 = np.add.outer(np.arange(cfg.mx), np.arange(cfg.nx)) <= cfg.trunc
+    err = np.abs(np.asarray(spec2) - spec)[m0].max()
+    # measured 2.54e-3 (2026-08-21); the asymptotic-seed latitude quirk
+    # bounds roundtrip accuracy at a few permille at every resolution
+    assert err < 5e-3, err

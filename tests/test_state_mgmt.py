@@ -230,3 +230,42 @@ def test_sharded_run_matches_single_device():
         for member in range(2):
             err = np.abs(b[member] - a).max() / scale
             assert err < 1e-12, (name, member, err)
+
+
+@pytest.mark.slow
+def test_t170_sharded_step_matches_single_device():
+    """North-star scale (T170, 512x256): nx=172 and il=256 divide sp=4, so
+    both spectral-n and grid-latitude axes genuinely shard (the divisible
+    scheme, not T85's TP-contraction fallback); one full coupled step
+    matches unsharded to fp64 roundoff."""
+    from speedy_tpu.config import t170
+    _one_step_sharded_vs_single(t170(precision="fp64"), n_dp=2, n_sp=4)
+
+
+@pytest.mark.slow
+def test_ensemble_per_step_output(tmp_path):
+    """Ensemble.run_days with per-member writers: every member writes the
+    reference's one-file-per-step schema (input_output.f90:95-217) into its
+    own memberNNN/ directory — BASELINE config 4 output-complete."""
+    from speedy_tpu.utils.output import NetCDFWriter
+
+    cfg = t30(precision="fp32", sppt_on=True)
+    m = Model(cfg)
+    ens = Ensemble(m, n_members=2, base_seed=3)
+    start = cal.Datetime(1982, 1, 1)
+    estate = ens.initialize(start)
+    writers = [NetCDFWriter(cfg, str(tmp_path / f"member{i:03d}"))
+               for i in range(2)]
+    estate, end = ens.run_days(estate, start, 1, output_writers=writers)
+    assert end == cal.Datetime(1982, 1, 2)
+    for i in range(2):
+        files = sorted((tmp_path / f"member{i:03d}").glob("*.nc"))
+        assert len(files) == cfg.nsteps, (i, len(files))
+        assert files[-1].name == "198201020000.nc"
+    # members differ (SPPT) and the files record it
+    from scipy.io import netcdf_file
+    with netcdf_file(str(tmp_path / "member000" / "198201020000.nc")) as a, \
+            netcdf_file(str(tmp_path / "member001" / "198201020000.nc")) as b:
+        ta = a.variables["t"][:].copy()
+        tb = b.variables["t"][:].copy()
+    assert np.abs(ta - tb).max() > 0.0
