@@ -95,10 +95,36 @@ def main():
         vlean.lower(model.mc, estate, ds_days).compile(),
         model.mc, estate, ds_days, msteps, "lean-diag")
 
+    # --- full unroll of the triple scan (removes the inner while loop;
+    # r02 measured unroll=4 negative, but full unroll also removes the
+    # carry copies, not just amortizes them) ---
+    cfg_u = t30(precision="fp32", sppt_on=True, scan_unroll=12)
+    model_u = Model(cfg_u)
+    span_u = model_u.raw_fns["run_span"]
+    vspan_u = jax.jit(jax.vmap(span_u, in_axes=(None, 0, None)))
+    results["unroll12"] = time_compiled(
+        vspan_u.lower(model_u.mc, estate, ds_days).compile(),
+        model_u.mc, estate, ds_days, msteps, "unroll12")
+
+    # --- lean + unroll combined ---
+    lean_u = _make_lean_span(model_u, cfg_u, unroll=12)
+    vlean_u = jax.jit(jax.vmap(lean_u, in_axes=(None, 0, None)))
+    results["lean+unroll"] = time_compiled(
+        vlean_u.lower(model_u.mc, estate, ds_days).compile(),
+        model_u.mc, estate, ds_days, msteps, "lean+unroll")
+
+    # repeat baseline and the winner to bound dispatch noise
+    results["baseline2"] = time_compiled(
+        vspan.lower(model.mc, estate, ds_days).compile(),
+        model.mc, estate, ds_days, msteps, "baseline2")
+    results["lean-diag2"] = time_compiled(
+        vlean.lower(model.mc, estate, ds_days).compile(),
+        model.mc, estate, ds_days, msteps, "lean-diag2")
+
     print({k: round(v, 4) for k, v in results.items()})
 
 
-def _make_lean_span(model, cfg):
+def _make_lean_span(model, cfg, unroll=1):
     """run_span variant with diagnostics computed once per triple."""
     from speedy_tpu.models import coupling
     from speedy_tpu.utils.diagnostics import compute_diagnostics
@@ -121,7 +147,8 @@ def _make_lean_span(model, cfg):
             diag = compute_diagnostics(mc.dyn.sc, st.prog.vor[1],
                                        st.prog.div[1], st.prog.t[1])
             return st, diag
-        return jax.lax.scan(triple, state, jnp.arange(n_triples))
+        return jax.lax.scan(triple, state, jnp.arange(n_triples),
+                            unroll=unroll)
 
     def run_span(mc, state, ds_days):
         def day_body(st, ds):

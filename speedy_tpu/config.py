@@ -73,6 +73,18 @@ class ModelConfig:
     scan_unroll: int = 1         # lax.scan unroll of the SW-triple day scan
     #                              (>1 trades compile time for less loop
     #                               bookkeeping in the latency-bound step)
+    diag_every: int = 3          # stability-diagnostic cadence (steps) in
+    #                              the fast on-device span path (run_fast /
+    #                              run_span / benches). The per-step
+    #                              diagnostic chain costs ~13.5% of the
+    #                              latency-bound step (measured r04,
+    #                              scripts/bench_step_variants.py); the
+    #                              span path's guard is day-granular
+    #                              anyway, so per-triple extrema detect
+    #                              the same instabilities. Model.run keeps
+    #                              the reference's exact per-step cadence
+    #                              (speedy.f90:41) regardless. Must divide
+    #                              nstrad.
 
     # ---- derived geometry ----
     @property

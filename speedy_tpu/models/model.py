@@ -61,6 +61,10 @@ class ModelState(NamedTuple):
 
 class StepOutputs(NamedTuple):
     diag: Diagnostics
+    # physics flux diagnostics (precip/radiation; auxiliaries.f90:15-33),
+    # populated only when run_day(collect_fluxes=True) — the climatology
+    # accumulation path. None otherwise (an empty pytree subtree).
+    fluxes: Optional[object] = None
 
 
 def _make_step_fns(cfg: ModelConfig, pp, lsp):
@@ -76,8 +80,9 @@ def _make_step_fns(cfg: ModelConfig, pp, lsp):
         return physics_fn
 
     def one_step(mc: ModelConsts, state: ModelState, daily,
-                 compute_sw: bool,
-                 couple_next=None) -> Tuple[ModelState, StepOutputs]:
+                 compute_sw: bool, couple_next=None,
+                 with_fluxes: bool = False, with_diag: bool = True
+                 ) -> Tuple[ModelState, StepOutputs]:
         """``couple_next``: traced bool scalar (or None) — the day's last
         step couples with the NEXT day's climatology interpolation, matching
         the reference's couple-after-newdate cadence (speedy.f90:47-53)."""
@@ -99,29 +104,46 @@ def _make_step_fns(cfg: ModelConfig, pp, lsp):
         new = ModelState(prog=prog, surf=surf, rad=aux.rad,
                          sppt=sppt_new if cfg.sppt_on else state.sppt)
         diag = compute_diagnostics(mc.dyn.sc, prog.vor[1], prog.div[1],
-                                   prog.t[1])
-        return new, StepOutputs(diag=diag)
+                                   prog.t[1]) if with_diag else None
+        # surface-flux subtree dropped: climatology accumulation needs the
+        # [il, ix] precip/radiation fields only
+        fl = aux.fluxes._replace(sfc=None) if with_fluxes else None
+        return new, StepOutputs(diag=diag, fluxes=fl)
 
     def run_day(mc: ModelConsts, state: ModelState, ds,
-                collect_output: bool):
+                collect_output: bool, collect_fluxes: bool = False,
+                diag_every: int = 1):
+        """``diag_every``: compute the stability diagnostics every that
+        many steps (must divide nstrad; 1 = the reference's per-step
+        cadence, speedy.f90:41). outs.diag has nsteps // diag_every rows.
+        The per-step diagnostic chain costs ~13.5% of the latency-bound
+        step (scripts/bench_step_variants.py, r04)."""
+        assert cfg.nstrad % diag_every == 0, (diag_every, cfg.nstrad)
         daily = coupling.daily_update(cfg, pp, lsp, mc.dyn.sc, mc.clim, ds,
                                       state.surf)
         n_triples = cfg.nsteps // cfg.nstrad
 
         def triple(carry, idx):
             st = carry
-            outs, grids = [], []
+            diags, fls, grids = [], [], []
             for i in range(cfg.nstrad):
                 last = (idx == n_triples - 1) if i == cfg.nstrad - 1 \
                     else None
                 st, out = one_step(mc, st, daily, compute_sw=(i == 0),
-                                   couple_next=last)
-                outs.append(out)
+                                   couple_next=last,
+                                   with_fluxes=collect_fluxes,
+                                   with_diag=((i + 1) % diag_every == 0))
+                if out.diag is not None:
+                    diags.append(out.diag)
+                if collect_fluxes:
+                    fls.append(out.fluxes)
                 if collect_output:
                     grids.append(gridded_fields(mc, st.prog))
-            outs = jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+            stack = lambda xs: jax.tree.map(lambda *ys: jnp.stack(ys), *xs)
+            outs = StepOutputs(diag=stack(diags),
+                               fluxes=stack(fls) if collect_fluxes else None)
             if collect_output:
-                grids = jax.tree.map(lambda *xs: jnp.stack(xs), *grids)
+                grids = stack(grids)
                 return st, (outs, grids)
             return st, outs
 
@@ -162,7 +184,8 @@ def _make_step_fns(cfg: ModelConfig, pp, lsp):
         pytree stacked on a leading day axis. Returns per-day guard extrema
         (max reke/deke, min/max tmean over the day's steps)."""
         def day_body(st, ds):
-            st, outs = run_day(mc, st, ds, collect_output=False)
+            st, outs = run_day(mc, st, ds, collect_output=False,
+                               diag_every=cfg.diag_every)
             guard = (jnp.max(outs.diag.reke, axis=0),
                      jnp.max(outs.diag.deke, axis=0),
                      jnp.min(outs.diag.tmean, axis=0),
@@ -171,7 +194,9 @@ def _make_step_fns(cfg: ModelConfig, pp, lsp):
         return jax.lax.scan(day_body, state, ds_days)
 
     run_span_jit = jax.jit(run_span)
-    run_day_jit = jax.jit(run_day, static_argnames=("collect_output",))
+    run_day_jit = jax.jit(run_day, static_argnames=("collect_output",
+                                                    "collect_fluxes",
+                                                    "diag_every"))
     boot_jit = jax.jit(boot)
     gridded_jit = jax.jit(gridded_fields, static_argnames=("level",))
     raw = dict(run_day=run_day, boot=boot, one_step=one_step,

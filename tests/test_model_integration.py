@@ -48,3 +48,39 @@ def test_one_day_coupled_run(tmp_path):
     assert q.max() < 0.05  # kg/kg
     # surface state advanced (slab models active)
     assert float(np.abs(np.asarray(state.surf.stl_am)).max()) > 200.0
+
+
+@pytest.mark.slow
+def test_collect_fluxes_day():
+    """run_day(collect_fluxes=True) returns per-step physics flux fields
+    (auxiliaries.f90:15-33) for climatology accumulation, without changing
+    the trajectory beyond compile-variant roundoff."""
+    import numpy as np
+    import jax
+    from speedy_tpu.config import t30
+    from speedy_tpu.models.model import Model
+    from speedy_tpu.models import coupling
+    from speedy_tpu.utils import calendar as cal
+
+    cfg = t30(precision="fp64")
+    m = Model(cfg)
+    start = cal.Datetime(1982, 1, 1)
+    state = m.initialize(start)
+    imont1, tmonth, tyear = cal.season_vars(start, cfg.iseasc, 1)
+    ds = coupling.make_date_scalars(cfg, m.geom_np, imont1, tmonth, tyear,
+                                    year=start.year)
+    st, outs = m._run_day(m.mc, state, ds, collect_output=False,
+                          collect_fluxes=True)
+    fl = outs.fluxes
+    assert fl is not None and fl.sfc is None
+    assert np.asarray(fl.precnv).shape == (cfg.nsteps, cfg.il, cfg.ix)
+    assert np.all(np.asarray(fl.precnv) >= 0.0)
+    assert np.all(np.asarray(fl.precls) >= 0.0)
+    olr_mean = float(np.asarray(fl.olr).mean())
+    assert 150.0 < olr_mean < 300.0, olr_mean
+
+    st2, outs2 = m._run_day(m.mc, state, ds, collect_output=False)
+    assert outs2.fluxes is None
+    for a, b in zip(jax.tree.leaves(st.prog), jax.tree.leaves(st2.prog)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-12, atol=1e-12)
