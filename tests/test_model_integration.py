@@ -84,3 +84,25 @@ def test_collect_fluxes_day():
     for a, b in zip(jax.tree.leaves(st.prog), jax.tree.leaves(st2.prog)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.slow
+def test_fp32_early_window_drift_bounded():
+    """fp32 accuracy qualification (BASELINE.md round-4 paragraph): the
+    fp64-vs-fp32 trajectory divergence over the first 5 days stays small —
+    measured 0.13 K RMS in mid-troposphere T (scripts/fp32_qualification
+    .py, 2026-08-21), bounded here at 4x measured so real precision
+    regressions fail while chaos-growth jitter passes."""
+    from speedy_tpu.models.model import Model as M
+    from speedy_tpu.utils.calendar import Datetime as DT
+
+    start = DT(1982, 1, 1)
+    snaps = {}
+    for prec in ("fp64", "fp32"):
+        m = M(t30(precision=prec))
+        st = m.run_fast(start, 5)
+        snaps[prec] = np.asarray(m._gridded(m.mc, st.prog)["t"][4],
+                                 np.float64)
+    drift = float(np.sqrt(np.mean((snaps["fp64"] - snaps["fp32"])**2)))
+    assert drift < 0.55, f"5-day fp32 drift {drift:.3f} K exceeds bound"
+    assert drift > 0.0
