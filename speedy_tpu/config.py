@@ -161,20 +161,27 @@ def t63(**kw) -> ModelConfig:
 
 
 def t170(**kw) -> ModelConfig:
-    """North-star stretch preset: T170, 512x256, 8 levels (dt=450 s).
+    """North-star stretch preset: T170, 512x256, 8 levels (dt=300 s).
 
     The scale where sharded-Legendre tensor parallelism pays off: the cpol
     tables are ~40x T30 and the transform einsums fill full MXU tiles
     (BASELINE.json north_star "T85/T170"; reference scale hook:
     source/params.f90:19-27 + legendre.f90:74-155). Boundary files are
-    regridded from the T30 set like the other presets; nsteps=192 keeps
-    the leapfrog advectively stable at the ~78 km equatorial spacing
-    (dt scales ~1/trunc from the T30 reference value).
+    regridded from the T30 set like the other presets.
+
+    dt: linear 1/trunc scaling from the reference's T30 2400 s gives
+    ~424 s, but that is advectively marginal at T170 — measured (r04):
+    dt=450 s and dt=400 s both blow up mid-day-5 of the spin-up from rest
+    (smooth energy growth at all wavenumbers, then a sudden grid-point
+    storm as the transient jet overshoots; identical in fp32, fp32 with
+    float32 matmuls — not a precision artifact). dt=300 s (nsteps=288)
+    runs 10+ days guard-clean; real spectral models likewise scale dt
+    sub-linearly at high resolution.
     """
     kw.setdefault("trunc", 170)
     kw.setdefault("ix", 512)
     kw.setdefault("il", 256)
-    kw.setdefault("nsteps", 192)
+    kw.setdefault("nsteps", 288)
     return ModelConfig(**kw).validate()
 
 
