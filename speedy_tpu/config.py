@@ -73,6 +73,22 @@ class ModelConfig:
     scan_unroll: int = 1         # lax.scan unroll of the SW-triple day scan
     #                              (>1 trades compile time for less loop
     #                               bookkeeping in the latency-bound step)
+    synthesis_split: bool = False  # EXPERIMENT (keep False): synthesize
+    #                              grid fields in consumer-sized groups
+    #                              instead of one merged 65-channel batch,
+    #                              to eliminate the [B,65,il,ix] layout
+    #                              copies (~2 x 1.6 ms/triple on the
+    #                              64-member span). NEGATIVE RESULT (r04):
+    #                              bit-identical to merged on CPU (fp64 and
+    #                              fp32), but the TPU-compiled vmapped day
+    #                              scan of the split program is numerically
+    #                              UNSTABLE — ensemble eddy KE grows
+    #                              7->115->1800->NaN over 8 days where the
+    #                              merged path stays at 5->46. The small
+    #                              per-group einsums take different
+    #                              bf16/accumulation strategies whose
+    #                              roundoff feeds back through the
+    #                              recurrent scan. Do not enable on TPU.
     diag_every: int = 3          # stability-diagnostic cadence (steps) in
     #                              the fast on-device span path (run_fast /
     #                              run_span / benches). The per-step

@@ -97,7 +97,12 @@ def grid_dynamics_tendencies(cfg: ModelConfig, dyn: DynConsts, ic: ImplicitConst
     with_phys = phi0_spec is not None
 
     # --- spectral -> grid, batched over every field, level AND time level
-    # at once (tendencies.f90:89-107 + physics.f90:95-104 merged) ---
+    # at once (tendencies.f90:89-107 + physics.f90:95-104 merged).
+    # cfg.synthesis_split=True instead synthesizes consumer-sized groups:
+    # the merged 65-channel stack needs a full-stack layout copy before
+    # the per-field slices (measured ~2 x 1.6 ms per triple on the
+    # 64-member span, scripts/profile_timeline.py r04); per-group outputs
+    # materialize directly in their consumers' layouts. ---
     vor_s, div_s = state.vor[j2], state.div[j2]
     plain_fields = [vor_s, div_s, state.t[j2],
                     state.tr[j2].reshape((-1,) + vor_s.shape[1:])]
@@ -108,10 +113,26 @@ def grid_dynamics_tendencies(cfg: ModelConfig, dyn: DynConsts, ic: ImplicitConst
         # SPPT pattern synthesis rides the same einsum chain (sppt.f90:93-95
         # analog) instead of a separate small transform dispatch
         plain_fields.append(sppt_spec)
-    plain_g = sp.spec_to_grid(sc, jnp.concatenate(plain_fields, axis=0))
-    vorg, divg, tg = plain_g[:kx], plain_g[kx:2 * kx], plain_g[2 * kx:3 * kx]
+    if cfg.synthesis_split:
+        plain_parts = [sp.spec_to_grid(sc, f) for f in plain_fields]
+        def plain_slice(a, b):
+            # channel range [a:b) of the virtual concatenated stack
+            out, off = [], 0
+            for f, g in zip(plain_fields, plain_parts):
+                n = f.shape[0]
+                lo, hi = max(a - off, 0), min(b - off, n)
+                if lo < hi:
+                    out.append(g[lo:hi])
+                off += n
+            return out[0] if len(out) == 1 else jnp.concatenate(out, axis=0)
+    else:
+        plain_g = sp.spec_to_grid(sc, jnp.concatenate(plain_fields, axis=0))
+        plain_slice = lambda a, b: plain_g[a:b]
+    vorg = plain_slice(0, kx)
+    divg = plain_slice(kx, 2 * kx)
+    tg = plain_slice(2 * kx, 3 * kx)
     base = (3 + ntr) * kx
-    trg = plain_g[3 * kx:base].reshape((ntr, kx) + plain_g.shape[1:])
+    trg = plain_slice(3 * kx, base).reshape((ntr, kx) + vorg.shape[1:])
 
     if with_phys:
         vor_uv = jnp.concatenate([vor_s, state.vor[0]], axis=0)
@@ -120,20 +141,31 @@ def grid_dynamics_tendencies(cfg: ModelConfig, dyn: DynConsts, ic: ImplicitConst
         vor_uv, div_uv = vor_s, div_s
     ucos, vcos = sp.uvspec(sc, vor_uv, div_uv)
     px_s, py_s = sp.grad(sc, state.ps[j2])
-    wind = jnp.concatenate([ucos, vcos, px_s[None], py_s[None]], axis=0)
-    wind_g = sp.spec_to_grid(sc, wind, scale_by_inv_cos=True)
     nuv = ucos.shape[0]
-    ug, vg = wind_g[:kx], wind_g[nuv:nuv + kx]
-    px, py = wind_g[2 * nuv], wind_g[2 * nuv + 1]
+    if cfg.synthesis_split:
+        u_g = sp.spec_to_grid(sc, ucos, scale_by_inv_cos=True)
+        v_g = sp.spec_to_grid(sc, vcos, scale_by_inv_cos=True)
+        p_g = sp.spec_to_grid(sc, jnp.stack([px_s, py_s], axis=0),
+                              scale_by_inv_cos=True)
+        ug, vg = u_g[:kx], v_g[:kx]
+        px, py = p_g[0], p_g[1]
+        ug0, vg0 = u_g[kx:], v_g[kx:]
+    else:
+        wind = jnp.concatenate([ucos, vcos, px_s[None], py_s[None]], axis=0)
+        wind_g = sp.spec_to_grid(sc, wind, scale_by_inv_cos=True)
+        ug, vg = wind_g[:kx], wind_g[nuv:nuv + kx]
+        px, py = wind_g[2 * nuv], wind_g[2 * nuv + 1]
+        ug0, vg0 = wind_g[kx:nuv], wind_g[nuv + kx:2 * nuv]
 
     pg = None
     if with_phys:
         pg = PhysicsGridState(
-            ug=wind_g[kx:2 * kx], vg=wind_g[nuv + kx:2 * nuv],
-            tg=plain_g[base:base + kx], qg=plain_g[base + kx:base + 2 * kx],
-            phig=plain_g[base + 2 * kx:base + 3 * kx],
-            pslg=plain_g[base + 3 * kx],
-            sppt=(plain_g[base + 3 * kx + 1:base + 3 * kx + 1 + kx]
+            ug=ug0, vg=vg0,
+            tg=plain_slice(base, base + kx),
+            qg=plain_slice(base + kx, base + 2 * kx),
+            phig=plain_slice(base + 2 * kx, base + 3 * kx),
+            pslg=plain_slice(base + 3 * kx, base + 3 * kx + 1)[0],
+            sppt=(plain_slice(base + 3 * kx + 1, base + 3 * kx + 1 + kx)
                   if sppt_spec is not None else None))
 
     vorg = vorg + geom.coriol[None, :, None]
