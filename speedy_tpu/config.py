@@ -89,6 +89,14 @@ class ModelConfig:
     #                              bf16/accumulation strategies whose
     #                              roundoff feeds back through the
     #                              recurrent scan. Do not enable on TPU.
+    tables_bf16: bool = False    # EXPERIMENT: store the big transform
+    #                              tables (cpol/DFT) in bfloat16 (fp32 runs
+    #                              only). MEASURED NEUTRAL at T170 (r04:
+    #                              135.6 vs 135.5 days/min) — the trace
+    #                              shows XLA already converts the fp32
+    #                              tables to bf16 once and stages the bf16
+    #                              copies, so explicit bf16 storage saves
+    #                              nothing. Kept as documentation.
     diag_every: int = 3          # stability-diagnostic cadence (steps) in
     #                              the fast on-device span path (run_fast /
     #                              run_span / benches). The per-step

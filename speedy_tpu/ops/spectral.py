@@ -267,8 +267,15 @@ def build_spectral_np(cfg: ModelConfig, geom_np: dict) -> dict:
 def build_spectral(cfg: ModelConfig, geom_np: dict) -> SpectralConsts:
     t = cfg.rdtype
     tables = build_spectral_np(cfg, geom_np)
-    return SpectralConsts(**{k: jnp.asarray(v, dtype=t)
-                             for k, v in tables.items()})
+    # optional bf16 storage of the big matmul tables (cfg.tables_bf16):
+    # the MXU rounds fp32 operands to bf16 anyway, so this halves their
+    # HBM footprint/traffic with near-zero additional rounding
+    big = {"cpol_inv", "cpol_dir", "dft_syn", "dft_ana"} \
+        if (getattr(cfg, "tables_bf16", False)
+            and cfg.precision == "fp32") else set()
+    return SpectralConsts(**{
+        k: jnp.asarray(v, dtype=jnp.bfloat16 if k in big else t)
+        for k, v in tables.items()})
 
 
 # ---------------------------------------------------------------------------
