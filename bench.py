@@ -31,17 +31,23 @@ from speedy_tpu.models import coupling
 from speedy_tpu.utils import calendar as cal
 
 
-def measure_oracle_baseline(n_steps: int = 12) -> float:
+def measure_oracle_baseline(n_steps: int = 12, trials: int = 3) -> float:
     """Measured serial reference-algorithm speed (sim-days/min) on this
-    host: the NumPy transliteration oracle, steady-state steps."""
+    host: the NumPy transliteration oracle, steady-state steps. Median of
+    ``trials`` windows so a transient of host contention cannot skew the
+    vs_baseline denominator (VERDICT r03 weak item 6)."""
+    import statistics
     import sys
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from tests.oracle.model import OracleSpeedy
     om = OracleSpeedy()
     om.run(2)                       # steady-state warm-up
-    t0 = time.time()
-    om.run(n_steps)
-    wall = time.time() - t0
+    walls = []
+    for _ in range(trials):
+        t0 = time.time()
+        om.run(n_steps)
+        walls.append(time.time() - t0)
+    wall = statistics.median(walls)
     return n_steps / 36.0 / (wall / 60.0)
 
 

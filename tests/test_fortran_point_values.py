@@ -614,3 +614,94 @@ def test_convection_point_values():
                                atol=1e-9)
     np.testing.assert_allclose(np.asarray(dfqa_m), dfqa_e, rtol=1e-12,
                                atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+def test_longwave_upward_point_values():
+    """longwave_radiation.f90:120-194 (upward sweep), transcribed
+    loop-literally — guards the band-vectorized rewrite of
+    upward_longwave against the source text (added r04 when the band loop
+    became a vector axis)."""
+    from speedy_tpu.models.physics import longwave as lw_mod
+
+    hsg, dhs, fsg, sigl, wvi2 = vertical_geometry()
+    kx, nl1 = KX, KX - 1
+    n = 4
+
+    fband = np.zeros((401, 4))
+    eps1 = 1.0 - EPSLW
+    for jtemp in range(200, 321):
+        fband[jtemp, 1] = (0.148 - 3.0e-6 * (jtemp - 247)**2) * eps1
+        fband[jtemp, 2] = (0.356 - 5.2e-6 * (jtemp - 282)**2) * eps1
+        fband[jtemp, 3] = (0.314 + 1.0e-5 * (jtemp - 315)**2) * eps1
+        fband[jtemp, 0] = eps1 - (fband[jtemp, 1] + fband[jtemp, 2]
+                                  + fband[jtemp, 3])
+    for jb in range(4):
+        fband[100:200, jb] = fband[200, jb]
+        fband[321:, jb] = fband[320, jb]
+
+    def nint(x):
+        return int(np.floor(x + 0.5))
+
+    rng = np.random.default_rng(17)
+    ta = np.zeros((kx, 1, n))
+    ta[:, 0, :] = (288.0 * np.maximum(0.3, fsg)[:, None]**0.28
+                   + rng.normal(0.0, 2.0, (kx, n)))
+    ta[0] = 197.0
+    ts = ta[kx - 1] + rng.normal(2.0, 1.0, (1, n))
+    tau2 = rng.uniform(0.3, 0.999, (4, kx, 1, n))
+    # st4a work arrays and incoming band fluxes as the downward pass
+    # would leave them (values arbitrary but physical)
+    st4a1 = 5.67e-8 * ta**4
+    st4a2 = np.zeros_like(ta)
+    st4a2[2:] = rng.uniform(0.0, 5.0, (kx - 2, 1, n))
+    flux_in = rng.uniform(10.0, 90.0, (4, 1, n))
+    stratc = np.stack([rng.uniform(0.0, 5.0, (1, n)),
+                       rng.uniform(0.0, 1e-9, (1, n))], axis=0)
+    dfabs0 = rng.normal(0.0, 10.0, (kx, 1, n))
+    fsfcu = EMISFC * 5.67e-8 * ts**4
+    fsfcd = rng.uniform(250.0, 400.0, (1, n))
+
+    # ---- transcription ----
+    refsfc = 1.0 - EMISFC
+    fsfc_e = fsfcu - fsfcd
+    flux = flux_in.copy()
+    dfabs = dfabs0.copy()
+    for jb in range(4):
+        for i in range(n):
+            flux[jb, 0, i] = fband[nint(ts[0, i]), jb] * fsfcu[0, i] \
+                + refsfc * flux[jb, 0, i]
+    dfabs[kx - 1] += EPSLW * fsfcu
+    for jb in range(4):
+        for k in range(kx, 1, -1):           # 1-based kx .. 2
+            for i in range(n):
+                emis = 1.0 - tau2[jb, k - 1, 0, i]
+                brad = fband[nint(ta[k - 1, 0, i]), jb] * (
+                    st4a1[k - 1, 0, i] - emis * st4a2[k - 1, 0, i])
+                dfabs[k - 1, 0, i] += flux[jb, 0, i]
+                flux[jb, 0, i] = tau2[jb, k - 1, 0, i] * flux[jb, 0, i] \
+                    + emis * brad
+                dfabs[k - 1, 0, i] -= flux[jb, 0, i]
+    for jb in range(2):                      # stratosphere k=1
+        for i in range(n):
+            emis = 1.0 - tau2[jb, 0, 0, i]
+            brad = fband[nint(ta[0, 0, i]), jb] * (
+                st4a1[0, 0, i] - emis * st4a2[0, 0, i])
+            dfabs[0, 0, i] += flux[jb, 0, i]
+            flux[jb, 0, i] = tau2[jb, 0, 0, i] * flux[jb, 0, i] + emis * brad
+            dfabs[0, 0, i] -= flux[jb, 0, i]
+    corlw1 = dhs[0] * stratc[1] * st4a1[0] + stratc[0]
+    corlw2 = dhs[1] * stratc[1] * st4a1[1]
+    dfabs[0] -= corlw1
+    dfabs[1] -= corlw2
+    ftop_e = corlw1 + corlw2 + flux.sum(axis=0)
+
+    # ---- model ----
+    j = jnp.asarray
+    slr_m, olr_m, dfabs_m = lw_mod.upward_longwave(
+        j(dhs), j(tau2), j(stratc), j(ta), j(ts), j(fsfcd), j(fsfcu),
+        j(st4a1), j(st4a2), j(flux_in), j(dfabs0))
+    np.testing.assert_allclose(np.asarray(slr_m), fsfc_e, rtol=1e-13)
+    np.testing.assert_allclose(np.asarray(olr_m), ftop_e, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(dfabs_m), dfabs, rtol=1e-11,
+                               atol=1e-9)
