@@ -269,3 +269,44 @@ def test_ensemble_per_step_output(tmp_path):
         ta = a.variables["t"][:].copy()
         tb = b.variables["t"][:].copy()
     assert np.abs(ta - tb).max() > 0.0
+
+
+@pytest.mark.slow
+def test_ensemble_spinup_eddy_energy_bounded():
+    """Regression guard for span-compile numerics: the SPPT ensemble's
+    eddy kinetic energy must grow through spin-up at the healthy rate
+    (r04 measured ~5 -> ~46 over 10 days on the merged-synthesis path).
+    The synthesis_split experiment showed a compile variant can be
+    bit-identical per day yet diverge through the scanned span
+    (7 -> 115 -> 1800 -> NaN by day 8); this test bounds day-10 reke at
+    ~4x the healthy value so such a regression fails loudly."""
+    import jax.numpy as jnp
+
+    cfg = t30(precision="fp32", sppt_on=True)
+    m = Model(cfg)
+    ens = Ensemble(m, n_members=8, base_seed=7)
+    start = cal.Datetime(1982, 1, 1)
+    estate = ens.initialize(start)
+    run_span = m.raw_fns["run_span"]
+    vspan = jax.jit(jax.vmap(run_span, in_axes=(None, 0, None)))
+
+    ds_list = []
+    date = start
+    for _ in range(10):
+        imont1, tmonth, tyear = cal.season_vars(date, cfg.iseasc,
+                                                start.month)
+        im_n, tm_n, _ = cal.season_vars(cal.next_day(date), cfg.iseasc,
+                                        start.month)
+        ds_list.append(coupling.make_date_scalars(
+            cfg, m.geom_np, imont1, tmonth, tyear, year=date.year,
+            imont1_next=im_n, tmonth_next=tm_n))
+        for _ in range(cfg.nsteps):
+            date = cal.newdate(date, cfg.nsteps)
+    ds_days = jax.tree.map(lambda *xs: np.stack(xs), *ds_list)
+
+    out, guard = vspan(m.mc, estate, ds_days)
+    assert np.isfinite(np.asarray(out.prog.vor)).all()
+    reke_daily = np.asarray(guard[0]).max(axis=(0, 2))  # [10]
+    assert reke_daily[-1] < 200.0, reke_daily
+    # and eddies actually spin up (members are not frozen)
+    assert reke_daily[-1] > 2.0, reke_daily
