@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from ...constants import SBC
 from .shortwave import EPSLW, EMISFC
 
-NBAND = 4
+NBAND = 4  # longwave bands (mod_radcon.f90:33); band axis leads tau2/flux
 
 
 def build_fband() -> np.ndarray:
