@@ -1,10 +1,10 @@
 """Longwave radiation: 4-band emission/absorption sweeps.
 
-Reference: source/longwave_radiation.f90. The Planck band-fraction table
-fband(100:400, 4) becomes a [301, 4] gather with the temperature index
-clamped to the table range (the reference guarantees this by construction);
-`nint` is matched with floor(T + 0.5) for the positive temperatures
-involved.
+Reference: source/longwave_radiation.f90. The Planck band fractions
+fband(100:400, 4) are evaluated directly as the clamped quadratics the
+table is built from (`_fband_at`; `nint` matched with floor(T + 0.5) for
+the positive temperatures involved), and the reference's independent
+per-band sweep loops ride a leading 4-band vector axis.
 """
 from __future__ import annotations
 
