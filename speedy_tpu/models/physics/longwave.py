@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from ...constants import SBC
 from .shortwave import EPSLW, EMISFC
 
-NBAND = 4  # longwave bands (mod_radcon.f90:33); band axis leads tau2/flux
+NBAND = 4  # longwave bands (mod_radcon.f90:33); tau2 is [kx, 4, il, ix]
 
 
 def build_fband() -> np.ndarray:
@@ -102,18 +102,18 @@ def downward_longwave(wvi2: np.ndarray, tau2: jnp.ndarray, ta: jnp.ndarray
     fb = jnp.moveaxis(_fband_at(ta), -1, 1)  # [kx, 4, il, ix]
 
     # 3.1 stratosphere, bands 1-2, k=1
-    emis0 = 1.0 - tau2[:2, 0]
+    emis0 = 1.0 - tau2[0, :2]
     brad0 = fb[0, :2] * (st4a1[0] + emis0 * st4a2[0])
     flux = jnp.concatenate(
-        [emis0 * brad0, jnp.zeros_like(tau2[2:, 0])], axis=0)  # [4, il, ix]
+        [emis0 * brad0, jnp.zeros_like(tau2[0, 2:])], axis=0)  # [4, il, ix]
     dfabs_levels = [-jnp.sum(flux[:2], axis=0)]
 
     # 3.2 troposphere (all 4 bands at once)
     for k in range(1, kx):
-        emis = 1.0 - tau2[:, k]
+        emis = 1.0 - tau2[k]
         brad = fb[k] * (st4a1[k] + emis * st4a2[k])
         dfa = jnp.sum(flux, axis=0)
-        flux = tau2[:, k] * flux + emis * brad
+        flux = tau2[k] * flux + emis * brad
         dfabs_levels.append(dfa - jnp.sum(flux, axis=0))
 
     slrd = EMISFC * jnp.sum(flux, axis=0)
@@ -148,17 +148,17 @@ def upward_longwave(dhs: np.ndarray, tau2: jnp.ndarray,
     dfa_add[kx - 1] = EPSLW * fsfcu
 
     for k in range(kx - 1, 0, -1):  # 0-based kx-1 .. 1
-        emis = 1.0 - tau2[:, k]
+        emis = 1.0 - tau2[k]
         brad = fb[k] * (st4a1[k] - emis * st4a2[k])
         pre = jnp.sum(fluxes, axis=0)
-        fluxes = tau2[:, k] * fluxes + emis * brad
+        fluxes = tau2[k] * fluxes + emis * brad
         dfa_add[k] = dfa_add[k] + pre - jnp.sum(fluxes, axis=0)
 
     # stratosphere k=1, bands 1-2
-    emis0 = 1.0 - tau2[:2, 0]
+    emis0 = 1.0 - tau2[0, :2]
     brad0 = fb[0, :2] * (st4a1[0] - emis0 * st4a2[0])
     pre = jnp.sum(fluxes[:2], axis=0)
-    fluxes = jnp.concatenate([tau2[:2, 0] * fluxes[:2] + emis0 * brad0,
+    fluxes = jnp.concatenate([tau2[0, :2] * fluxes[:2] + emis0 * brad0,
                               fluxes[2:]], axis=0)
     dfa_add[0] = dfa_add[0] + pre - jnp.sum(fluxes[:2], axis=0)
 
