@@ -11,12 +11,16 @@ arithmetic is simple enough to verify on paper. No oracle code and no
 model helper is used to produce the expected values; the model's fp64
 output must match the transcription to roundoff.
 
-Covered high-risk routines (VERDICT item 6):
+Covered routines (VERDICT item 6 named the first five; the rest guard
+later rewrites):
   - solar declination/insolation   shortwave_radiation.f90:287-329
   - implicit xf assembly chain     implicit.f90:62-158
   - surface-flux stability branches + skin solve  surface_fluxes.f90:95-296
   - LW downward band sweep + fband table  longwave_radiation.f90:16-117,197-220
   - convection entrainment/mass flux      convection.f90:27-245
+  - LW upward sweep                longwave_radiation.f90:120-194
+  - vertical diffusion (all three processes)  vertical_diffusion.f90:30-143
+  - geopotential + zonal-mean lapse correction  geopotential.f90:18-57
 """
 import numpy as np
 import jax.numpy as jnp
@@ -706,3 +710,153 @@ def test_longwave_upward_point_values():
     np.testing.assert_allclose(np.asarray(olr_m), ftop_e, rtol=1e-12)
     np.testing.assert_allclose(np.asarray(dfabs_m), dfabs, rtol=1e-11,
                                atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+def test_vertical_diffusion_point_values():
+    """vertical_diffusion.f90:30-143 transcribed loop-literally: shallow
+    convection (both dmse branches + the icnv reduction factor), moisture
+    diffusion above the PBL, and the super-adiabatic redistribution whose
+    inner k1 loop the model reimplements as a suffix sum — 4 columns
+    exercising every branch."""
+    from speedy_tpu.models.physics import vertical_diffusion as vd_mod
+
+    hsg, dhs, fsg, sigl, wvi2 = vertical_geometry()
+    kx, nl1 = KX, KX - 1
+    n = 4
+    trshc, trvdi, trvds = 6.0, 24.0, 6.0        # :19-21
+    redshc, rhgrad, segrad = 0.5, 0.5, 0.1      # :22-25
+    sigh = hsg[1:]                              # sigh(k) 1-based = hsg[k]
+
+    rng = np.random.default_rng(23)
+    t_prof = 288.0 * np.maximum(0.3, fsg)**0.28
+    phi = GRAV * 7000.0 * np.log(1.0 / fsg)[:, None, None] \
+        * np.ones((kx, 1, n))
+    se = CP * t_prof[:, None, None] + phi
+    se = se + rng.normal(0.0, 300.0, (kx, 1, n))
+    qsat = ref_qsat(t_prof[:, None, None] * np.ones((kx, 1, n)),
+                    np.ones((1, n)), fsg[:, None, None])
+    rh = rng.uniform(0.1, 0.95, (kx, 1, n))
+    qa = rh * qsat
+    icnv = np.array([[0, 3, 0, 2]])
+    # col 0: moist-unstable PBL (dmse>=0, drh>=0); col 1: same but deep
+    # convection active (fcnv=redshc); col 2: dmse<0 with drh>drh0;
+    # col 3: super-adiabatic interior
+    se[kx - 1, 0, 0] = se[nl1 - 1, 0, 0] + 2000.0
+    qa[kx - 1, 0, 0] = qsat[kx - 1, 0, 0]
+    rh[kx - 1, 0, 0] = 0.95; rh[nl1 - 1, 0, 0] = 0.5
+    se[kx - 1, 0, 1] = se[nl1 - 1, 0, 1] + 1500.0
+    qa[kx - 1, 0, 1] = qsat[kx - 1, 0, 1]
+    se[kx - 1, 0, 2] = se[nl1 - 1, 0, 2] - 5000.0
+    qa[kx - 1, 0, 2] = 0.2 * qsat[kx - 1, 0, 2]
+    rh[kx - 1, 0, 2] = 0.9; rh[nl1 - 1, 0, 2] = 0.2
+    se[3, 0, 3] = se[4, 0, 3] - 4000.0          # se(k) < se0 at k=4 (1b)
+
+    # ---- transcription ----
+    cshc = dhs[kx - 1] / 3600.0
+    cvdi = (sigh[nl1 - 1] - sigh[0]) / ((nl1 - 1) * 3600.0)
+    fshcq = cshc / trshc
+    fshcse = cshc / (trshc * CP)
+    fvdiq = cvdi / trvdi
+    fvdise = cvdi / (trvds * CP)
+    rsig = 1.0 / dhs
+    rsig1 = np.zeros(kx)
+    rsig1[:nl1] = 1.0 / (1.0 - sigh[:nl1])
+    tt = np.zeros((kx, 1, n)); qt = np.zeros((kx, 1, n))
+    drh0 = rhgrad * (fsg[kx - 1] - fsg[nl1 - 1])
+    fvdiq2 = fvdiq * sigh[nl1 - 1]
+    for i in range(n):
+        dmse = se[kx - 1, 0, i] - se[nl1 - 1, 0, i] \
+            + ALHC * (qa[kx - 1, 0, i] - qsat[nl1 - 1, 0, i])
+        drh = rh[kx - 1, 0, i] - rh[nl1 - 1, 0, i]
+        fcnv = 1.0
+        if dmse >= 0.0:
+            if icnv[0, i] > 0:
+                fcnv = redshc
+            fluxse = fcnv * fshcse * dmse
+            tt[nl1 - 1, 0, i] = fluxse * rsig[nl1 - 1]
+            tt[kx - 1, 0, i] = -fluxse * rsig[kx - 1]
+            if drh >= 0.0:
+                fluxq = fcnv * fshcq * qsat[kx - 1, 0, i] * drh
+                qt[nl1 - 1, 0, i] = fluxq * rsig[nl1 - 1]
+                qt[kx - 1, 0, i] = -fluxq * rsig[kx - 1]
+        elif drh > drh0:
+            fluxq = fvdiq2 * qsat[nl1 - 1, 0, i] * drh
+            qt[nl1 - 1, 0, i] = fluxq * rsig[nl1 - 1]
+            qt[kx - 1, 0, i] = -fluxq * rsig[kx - 1]
+    for k in range(3, kx - 1):                  # 1-based 3..kx-2
+        if sigh[k - 1] > 0.5:
+            drh0 = rhgrad * (fsg[k] - fsg[k - 1])
+            fvdiq2 = fvdiq * sigh[k - 1]
+            for i in range(n):
+                drh = rh[k, 0, i] - rh[k - 1, 0, i]
+                if drh >= drh0:
+                    fluxq = fvdiq2 * qsat[k - 1, 0, i] * drh
+                    qt[k - 1, 0, i] += fluxq * rsig[k - 1]
+                    qt[k, 0, i] -= fluxq * rsig[k]
+    for k in range(1, kx):                      # 1-based 1..kx-1
+        for i in range(n):
+            se0 = se[k, 0, i] + segrad * (phi[k - 1, 0, i] - phi[k, 0, i])
+            if se[k - 1, 0, i] < se0:
+                fluxse = fvdise * (se0 - se[k - 1, 0, i])
+                tt[k - 1, 0, i] += fluxse * rsig[k - 1]
+                for k1 in range(k, kx):         # 1-based k+1..kx
+                    tt[k1, 0, i] -= fluxse * rsig1[k - 1]
+
+    # branch coverage sanity
+    assert tt[nl1 - 1, 0, 0] > 0 and qt[nl1 - 1, 0, 0] > 0
+    assert qt[nl1 - 1, 0, 2] > 0 and tt[nl1 - 1, 0, 2] <= tt[nl1 - 1, 0, 0]
+
+    # ---- model ----
+    j = jnp.asarray
+    ut_m, vt_m, tt_m, qt_m = vd_mod.vertical_diffusion(
+        j(fsg), j(dhs), j(hsg), j(se), j(rh), j(qa), j(qsat), j(phi),
+        j(icnv, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(ut_m), 0.0)
+    np.testing.assert_array_equal(np.asarray(vt_m), 0.0)
+    np.testing.assert_allclose(np.asarray(tt_m), tt, rtol=1e-12, atol=1e-15)
+    np.testing.assert_allclose(np.asarray(qt_m), qt, rtol=1e-12, atol=1e-15)
+
+
+# ---------------------------------------------------------------------------
+def test_geopotential_point_values():
+    """geopotential.f90:18-57: hydrostatic bottom-up integration and the
+    zonal-mean-only (Fortran m=1 row) lapse-rate correction, transcribed
+    with its xgeop coefficient tables."""
+    from speedy_tpu.config import t30
+    from speedy_tpu.geometry import build_geometry_np
+    from speedy_tpu.models.geopotential import (build_geopotential,
+                                                get_geopotential)
+
+    cfg = t30(precision="fp64")
+    geom = build_geometry_np(cfg)
+    gc = build_geopotential(cfg, geom)
+    hsg, dhs, fsg, sigl, _ = vertical_geometry()
+    kx, mx, nx = KX, cfg.mx, cfg.nx
+
+    xgeop1 = np.zeros(kx); xgeop2 = np.zeros(kx + 1)
+    for k in range(1, kx + 1):                  # 1-based
+        xgeop1[k - 1] = RGAS * np.log(hsg[k] / fsg[k - 1])
+        if k != kx:
+            xgeop2[k] = RGAS * np.log(fsg[k] / hsg[k])
+
+    rng = np.random.default_rng(29)
+    t_spec = rng.normal(0.0, 1.0, (kx, mx, nx, 2))
+    t_spec[:, 0, :, 1] = 0.0
+    phis = rng.normal(0.0, 100.0, (mx, nx, 2))
+    phis[0, :, 1] = 0.0
+
+    phi_e = np.zeros((kx, mx, nx, 2))
+    phi_e[kx - 1] = phis + xgeop1[kx - 1] * t_spec[kx - 1]
+    for k in range(kx - 1, 0, -1):              # 1-based kx-1..1
+        phi_e[k - 1] = phi_e[k] + xgeop2[k] * t_spec[k] \
+            + xgeop1[k - 1] * t_spec[k - 1]
+    for k in range(2, kx):                      # 1-based 2..kx-1
+        corf = xgeop1[k - 1] * 0.5 * np.log(hsg[k] / fsg[k - 1]) \
+            / np.log(fsg[k] / fsg[k - 2])
+        phi_e[k - 1, 0] = phi_e[k - 1, 0] + corf * (
+            t_spec[k, 0] - t_spec[k - 2, 0])
+
+    phi_m = np.asarray(get_geopotential(gc, jnp.asarray(t_spec),
+                                        jnp.asarray(phis)))
+    np.testing.assert_allclose(phi_m, phi_e, rtol=1e-13, atol=1e-12)
