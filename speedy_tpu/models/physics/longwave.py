@@ -1,10 +1,10 @@
 """Longwave radiation: 4-band emission/absorption sweeps.
 
-Reference: source/longwave_radiation.f90. The Planck band fractions
-fband(100:400, 4) are evaluated directly as the clamped quadratics the
-table is built from (`_fband_at`; `nint` matched with floor(T + 0.5) for
-the positive temperatures involved), and the reference's independent
-per-band sweep loops ride a leading 4-band vector axis.
+Reference: source/longwave_radiation.f90. The Planck band-fraction table
+fband(100:400, 4) becomes a [301, 4] gather with the temperature index
+clamped to the table range (the reference guarantees this by construction);
+`nint` is matched with floor(T + 0.5) for the positive temperatures
+involved.
 """
 from __future__ import annotations
 
@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from ...constants import SBC
 from .shortwave import EPSLW, EMISFC
 
-NBAND = 4  # longwave bands (mod_radcon.f90:33); tau2 is [kx, 4, il, ix]
+NBAND = 4
 
 
 def build_fband() -> np.ndarray:
@@ -92,39 +92,38 @@ def downward_longwave(wvi2: np.ndarray, tau2: jnp.ndarray, ta: jnp.ndarray
     st4a1 = jnp.stack(st4a1, axis=0)
     st4a2 = jnp.stack(st4a2, axis=0)
 
-    # The reference's band loop (jb = 1..4) is independent per band, so the
-    # four bands ride a leading vector axis: ~4x fewer ops in the sweep and
-    # dfabs is assembled by stacking per-level values instead of per-band
-    # scatter-adds (op-count matters: the step is kernel-efficiency bound,
-    # scripts/profile_timeline.py r04). Per-band arithmetic is identical to
-    # the reference; only the order of the 4-band dfabs sum changes
-    # (roundoff-level, far under the 1e-10 oracle bound).
-    fb = jnp.moveaxis(_fband_at(ta), -1, 1)  # [kx, 4, il, ix]
+    dfabs = jnp.zeros_like(ta)
+    fb = _fband_at(ta)  # [kx, il, ix, 4]
 
     # 3.1 stratosphere, bands 1-2, k=1
-    emis0 = 1.0 - tau2[0, :2]
-    brad0 = fb[0, :2] * (st4a1[0] + emis0 * st4a2[0])
-    flux = jnp.concatenate(
-        [emis0 * brad0, jnp.zeros_like(tau2[0, 2:])], axis=0)  # [4, il, ix]
-    dfabs_levels = [-jnp.sum(flux[:2], axis=0)]
+    flux = [None] * NBAND
+    for jb in range(2):
+        emis = 1.0 - tau2[jb, 0]
+        brad = fb[0, ..., jb] * (st4a1[0] + emis * st4a2[0])
+        flux[jb] = emis * brad
+        dfabs = dfabs.at[0].add(-flux[jb])
+    for jb in range(2, NBAND):
+        flux[jb] = jnp.zeros_like(ta[0])
 
-    # 3.2 troposphere (all 4 bands at once)
-    for k in range(1, kx):
-        emis = 1.0 - tau2[k]
-        brad = fb[k] * (st4a1[k] + emis * st4a2[k])
-        dfa = jnp.sum(flux, axis=0)
-        flux = tau2[k] * flux + emis * brad
-        dfabs_levels.append(dfa - jnp.sum(flux, axis=0))
+    # 3.2 troposphere
+    for jb in range(NBAND):
+        f = flux[jb]
+        for k in range(1, kx):
+            emis = 1.0 - tau2[jb, k]
+            brad = fb[k, ..., jb] * (st4a1[k] + emis * st4a2[k])
+            dfabs = dfabs.at[k].add(f)
+            f = tau2[jb, k] * f + emis * brad
+            dfabs = dfabs.at[k].add(-f)
+        flux[jb] = f
 
-    slrd = EMISFC * jnp.sum(flux, axis=0)
+    slrd = EMISFC * (flux[0] + flux[1] + flux[2] + flux[3])
 
     # 3.4 "black" band correction
     corlw = EPSLW * EMISFC * st4a1[kx - 1]
-    dfabs_levels[kx - 1] = dfabs_levels[kx - 1] - corlw
+    dfabs = dfabs.at[kx - 1].add(-corlw)
     slrd = slrd + corlw
-    dfabs = jnp.stack(dfabs_levels, axis=0)
 
-    return slrd, dfabs, st4a1, st4a2, flux
+    return slrd, dfabs, st4a1, st4a2, jnp.stack(flux, axis=0)
 
 
 def upward_longwave(dhs: np.ndarray, tau2: jnp.ndarray,
@@ -138,34 +137,34 @@ def upward_longwave(dhs: np.ndarray, tau2: jnp.ndarray,
     refsfc = 1.0 - EMISFC
     slr = fsfcu - fsfcd
 
-    # band-vectorized like the downward sweep (same per-band arithmetic as
-    # the reference; 4-band dfabs sums reassociated at roundoff level)
-    fb_ts = jnp.moveaxis(_fband_at(ts), -1, 0)   # [4, il, ix]
-    fb = jnp.moveaxis(_fband_at(ta), -1, 1)      # [kx, 4, il, ix]
-    fluxes = fb_ts * fsfcu + refsfc * flux       # [4, il, ix]
+    fb_ts = _fband_at(ts)  # [il, ix, 4]
+    fb = _fband_at(ta)
+    fluxes = [fb_ts[..., jb] * fsfcu + refsfc * flux[jb]
+              for jb in range(NBAND)]
 
-    dfa_add = [jnp.zeros_like(ta[0]) for _ in range(kx)]
-    dfa_add[kx - 1] = EPSLW * fsfcu
+    dfabs = dfabs.at[kx - 1].add(EPSLW * fsfcu)
 
-    for k in range(kx - 1, 0, -1):  # 0-based kx-1 .. 1
-        emis = 1.0 - tau2[k]
-        brad = fb[k] * (st4a1[k] - emis * st4a2[k])
-        pre = jnp.sum(fluxes, axis=0)
-        fluxes = tau2[k] * fluxes + emis * brad
-        dfa_add[k] = dfa_add[k] + pre - jnp.sum(fluxes, axis=0)
+    for jb in range(NBAND):
+        f = fluxes[jb]
+        for k in range(kx - 1, 0, -1):  # 0-based kx-1 .. 1
+            emis = 1.0 - tau2[jb, k]
+            brad = fb[k, ..., jb] * (st4a1[k] - emis * st4a2[k])
+            dfabs = dfabs.at[k].add(f)
+            f = tau2[jb, k] * f + emis * brad
+            dfabs = dfabs.at[k].add(-f)
+        fluxes[jb] = f
 
     # stratosphere k=1, bands 1-2
-    emis0 = 1.0 - tau2[0, :2]
-    brad0 = fb[0, :2] * (st4a1[0] - emis0 * st4a2[0])
-    pre = jnp.sum(fluxes[:2], axis=0)
-    fluxes = jnp.concatenate([tau2[0, :2] * fluxes[:2] + emis0 * brad0,
-                              fluxes[2:]], axis=0)
-    dfa_add[0] = dfa_add[0] + pre - jnp.sum(fluxes[:2], axis=0)
+    for jb in range(2):
+        emis = 1.0 - tau2[jb, 0]
+        brad = fb[0, ..., jb] * (st4a1[0] - emis * st4a2[0])
+        dfabs = dfabs.at[0].add(fluxes[jb])
+        fluxes[jb] = tau2[jb, 0] * fluxes[jb] + emis * brad
+        dfabs = dfabs.at[0].add(-fluxes[jb])
 
     corlw1 = dhs[0] * stratc[1] * st4a1[0] + stratc[0]
     corlw2 = dhs[1] * stratc[1] * st4a1[1]
-    dfa_add[0] = dfa_add[0] - corlw1
-    dfa_add[1] = dfa_add[1] - corlw2
-    olr = corlw1 + corlw2 + jnp.sum(fluxes, axis=0)
-    dfabs = dfabs + jnp.stack(dfa_add, axis=0)
+    dfabs = dfabs.at[0].add(-corlw1)
+    dfabs = dfabs.at[1].add(-corlw2)
+    olr = corlw1 + corlw2 + fluxes[0] + fluxes[1] + fluxes[2] + fluxes[3]
     return slr, olr, dfabs

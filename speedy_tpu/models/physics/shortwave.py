@@ -49,7 +49,7 @@ EMISFC = 0.98  # mod_radcon.f90:27
 class RadiationState(NamedTuple):
     """Radiation fields persisting between steps (mod_radcon.f90:47 work
     arrays + the de-facto persistent SW heating on skip steps)."""
-    tau2: jnp.ndarray    # [kx, 4, il, ix] layer transmissivities (LW after SW step)
+    tau2: jnp.ndarray    # [4, kx, il, ix] layer transmissivities (LW after SW step)
     stratc: jnp.ndarray  # [2, il, ix] stratospheric correction
     tt_rsw: jnp.ndarray  # [kx, il, ix] SW heating (scaled), reused on skip steps
     ssrd: jnp.ndarray    # [il, ix] downward SW at surface (persisted, auxiliaries)
@@ -61,7 +61,7 @@ def init_radiation_state(cfg) -> RadiationState:
     t = cfg.rdtype
     kx, il, ix = cfg.kx, cfg.il, cfg.ix
     return RadiationState(
-        tau2=jnp.ones((kx, 4, il, ix), t),
+        tau2=jnp.ones((4, kx, il, ix), t),
         stratc=jnp.zeros((2, il, ix), t),
         tt_rsw=jnp.zeros((kx, il, ix), t),
         ssrd=jnp.zeros((il, ix), t),
@@ -249,10 +249,7 @@ def shortwave_rad_fluxes(fsg: np.ndarray, dhs: np.ndarray,
     lw1 = jnp.where(mid, jnp.exp(-dp * (ABLWIN + acl1)), lw1)
     lw3 = jnp.where(mid, jnp.exp(-dp * jnp.maximum(ABLWV1 * qa, aclw[None])), lw3)
     lw4 = jnp.where(mid, jnp.exp(-dp * jnp.maximum(ABLWV2 * qa, aclw[None])), lw4)
-    # band axis SECOND: [kx, 4, il, ix] so the LW sweeps' per-level
-    # reads tau2[k] are contiguous (the [4,kx,...] layout produced
-    # transposed scan-carry copies at ~16 GB/s, n=1 timeline r04)
-    tau2 = jnp.stack([lw1, lw2, lw3, lw4], axis=1)
+    tau2 = jnp.stack([lw1, lw2, lw3, lw4], axis=0)
 
     eps1 = EPSLW / (dhs[0] + dhs[1])
     stratc = jnp.stack([stratz * psa, eps1 * psa], axis=0)

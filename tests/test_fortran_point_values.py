@@ -459,8 +459,7 @@ def test_longwave_downward_point_values():
 
     # ---- model ----
     slrd_m, dfabs_m, st4a1_m, st4a2_m, flux_m = lw_mod.downward_longwave(
-        jnp.asarray(wvi2), jnp.asarray(np.moveaxis(tau2, 0, 1)),
-        jnp.asarray(ta))
+        jnp.asarray(wvi2), jnp.asarray(tau2), jnp.asarray(ta))
     np.testing.assert_allclose(np.asarray(slrd_m), fsfcd, rtol=1e-13)
     np.testing.assert_allclose(np.asarray(dfabs_m), dfabs, rtol=1e-12,
                                atol=1e-10)
@@ -704,8 +703,8 @@ def test_longwave_upward_point_values():
     # ---- model ----
     j = jnp.asarray
     slr_m, olr_m, dfabs_m = lw_mod.upward_longwave(
-        j(dhs), j(np.moveaxis(tau2, 0, 1)), j(stratc), j(ta), j(ts),
-        j(fsfcd), j(fsfcu), j(st4a1), j(st4a2), j(flux_in), j(dfabs0))
+        j(dhs), j(tau2), j(stratc), j(ta), j(ts), j(fsfcd), j(fsfcu),
+        j(st4a1), j(st4a2), j(flux_in), j(dfabs0))
     np.testing.assert_allclose(np.asarray(slr_m), fsfc_e, rtol=1e-13)
     np.testing.assert_allclose(np.asarray(olr_m), ftop_e, rtol=1e-12)
     np.testing.assert_allclose(np.asarray(dfabs_m), dfabs, rtol=1e-11,

@@ -187,10 +187,9 @@ def test_longwave_budget(cfg, geom, wvi2):
                      + rng.normal(0, 3, (kx, 1, n)))
     psa = jnp.asarray(np.exp(rng.normal(0, 0.02, (1, n))))
     dp = np.asarray(psa)[None] * geom["dhs"][:, None, None]
-    tau2 = jnp.asarray(np.moveaxis(
-        np.exp(-dp[None] * np.array([0.3, 6.0, 1.4, 25.0]
-                                    )[:, None, None, None]
-               * rng.uniform(0.5, 1.0, (4, kx, 1, n))), 0, 1))
+    tau2 = jnp.asarray(np.exp(-dp[None] * np.array([0.3, 6.0, 1.4, 25.0]
+                                                   )[:, None, None, None]
+                              * rng.uniform(0.5, 1.0, (4, kx, 1, n))))
     stratc = jnp.asarray(np.zeros((2, 1, n)))
     slrd, dfabs, st4a1, st4a2, flux = longwave.downward_longwave(
         wvi2, tau2, ta)
@@ -236,9 +235,8 @@ def test_co2_trend_wiring(cfg, geom):
                                                    ablco2=6.0)
     *_, tau2_b, _ = shortwave.shortwave_rad_fluxes(fsg, dhs, *args,
                                                    ablco2=float(ds1.ablco2))
-    # tau2 is [kx, 4, il, ix]; band 2 (index 1) is the CO2 band
-    assert np.all(np.asarray(tau2_b[:, 1]) < np.asarray(tau2_a[:, 1]))
-    assert np.allclose(np.asarray(tau2_b[:, 0]), np.asarray(tau2_a[:, 0]))
+    assert np.all(np.asarray(tau2_b[1]) < np.asarray(tau2_a[1]))
+    assert np.allclose(np.asarray(tau2_b[0]), np.asarray(tau2_a[0]))
 
 
 def test_co2_trend_wiring_ensemble(monkeypatch):
