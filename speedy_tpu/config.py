@@ -42,6 +42,13 @@ class ModelConfig:
     sppt_on: bool = False
     issty0: int = 1979    # first year in the SST anomaly file
 
+    # -- Horizontal-diffusion damping times, hours (dynamical_constants
+    # .f90:17-20 defaults; the T170 preset shortens them — the reference's
+    # values are tuned for T30's truncation scale) --
+    thd: float = 2.4
+    thdd: float = 2.4
+    thds: float = 12.0
+
     # -- Coupling flags (land_model.f90:41, sea_model.f90:60-75) --
     land_coupling_flag: int = 1
     sea_coupling_flag: int = 0
@@ -185,7 +192,7 @@ def t63(**kw) -> ModelConfig:
 
 
 def t170(**kw) -> ModelConfig:
-    """North-star stretch preset: T170, 512x256, 8 levels (dt=300 s).
+    """North-star stretch preset: T170, 512x256, 8 levels (dt=240 s).
 
     The scale where sharded-Legendre tensor parallelism pays off: the cpol
     tables are ~40x T30 and the transform einsums fill full MXU tiles
@@ -193,19 +200,25 @@ def t170(**kw) -> ModelConfig:
     source/params.f90:19-27 + legendre.f90:74-155). Boundary files are
     regridded from the T30 set like the other presets.
 
-    dt: linear 1/trunc scaling from the reference's T30 2400 s gives
-    ~424 s, but that is advectively marginal at T170 — measured (r04):
-    dt=450 s and dt=400 s both blow up mid-day-5 of the spin-up from rest
-    (smooth energy growth at all wavenumbers, then a sudden grid-point
-    storm as the transient jet overshoots; identical in fp32, fp32 with
-    float32 matmuls — not a precision artifact). dt=300 s (nsteps=288)
-    runs 10+ days guard-clean; real spectral models likewise scale dt
-    sub-linearly at high resolution.
+    dt and diffusion, all measured (r04): linear 1/trunc scaling of the
+    reference's T30 2400 s gives ~424 s, but dt=450/400 s blow up
+    mid-day-5 of spin-up (sudden grid-point storm; identical with
+    float32 matmuls — not precision). dt=300 s survives 30 days but the
+    90-day horizon then fails around day 39-55 across compile variants
+    with the T30-tuned thd=2.4 h damping (weeks-scale growth, not
+    advective CFL). Quartering the damping times (standard resolution
+    scaling at a 5.7x finer truncation) plus dt=240 s (nsteps=360)
+    holds the full 90-day run guard-clean (~99 sim-days/min). T170 fp32
+    long-horizon margin remains thinner than T30/T85's; flagged for the
+    next round.
     """
     kw.setdefault("trunc", 170)
     kw.setdefault("ix", 512)
     kw.setdefault("il", 256)
-    kw.setdefault("nsteps", 288)
+    kw.setdefault("nsteps", 360)
+    kw.setdefault("thd", 0.6)
+    kw.setdefault("thdd", 0.6)
+    kw.setdefault("thds", 3.0)
     return ModelConfig(**kw).validate()
 
 

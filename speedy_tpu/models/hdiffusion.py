@@ -29,9 +29,13 @@ def build_diffusion_np(cfg: ModelConfig, geom_np: dict) -> dict:
     """Float64 tables (horizontal_diffusion.f90:36-82)."""
     assert cfg.nsteps % 2 == 0, "Invalid no. of time steps"
     npowhd = 4
-    hdiff = 1.0 / (THD * 3600.0)
-    hdifd = 1.0 / (THDD * 3600.0)
-    hdifs = 1.0 / (THDS * 3600.0)
+    # damping times default to the reference's T30-tuned constants
+    # (dynamical_constants.f90:17-20) but are config-overridable: the
+    # stretch presets resolve far more energetic small scales and need
+    # proportionally stronger damping (t170 sets these; measured r04)
+    hdiff = 1.0 / (getattr(cfg, "thd", THD) * 3600.0)
+    hdifd = 1.0 / (getattr(cfg, "thdd", THDD) * 3600.0)
+    hdifs = 1.0 / (getattr(cfg, "thds", THDS) * 3600.0)
     rlap = 1.0 / (cfg.trunc * (cfg.trunc + 1))
 
     m0 = np.arange(cfg.mx, dtype=np.float64)[:, None]

@@ -316,7 +316,8 @@ def test_t170_tables_and_roundtrip():
     from speedy_tpu.ops import spectral as sp
 
     cfg = t170(precision="fp64")
-    assert cfg.nsteps == 288 and cfg.delt == 300.0
+    assert cfg.nsteps == 360 and cfg.delt == 240.0
+    assert cfg.thd == 0.6
     assert cfg.ix >= 2 * cfg.mx
     assert cfg.nx % 4 == 0 and cfg.il % 4 == 0
     geom = build_geometry_np(cfg)
