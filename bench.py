@@ -52,7 +52,7 @@ def measure_oracle_baseline(n_steps: int = 12, trials: int = 3) -> float:
 
 
 def main():
-    cfg = t30(precision="fp32")
+    cfg = t30(precision="fp32", diag_every=3)
     model = Model(cfg)
     start = cal.Datetime(1982, 1, 1)
     state = model.initialize(start)

@@ -43,7 +43,7 @@ def main():
     ap.add_argument("--days", type=int, default=10)
     args = ap.parse_args()
 
-    cfg = t30(precision="fp32", sppt_on=True)
+    cfg = t30(precision="fp32", sppt_on=True, diag_every=3)
     model = Model(cfg)
     ens = Ensemble(model, args.members, base_seed=7)
     start = cal.Datetime(1982, 1, 1)

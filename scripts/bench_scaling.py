@@ -61,7 +61,8 @@ def main():
                                           replicated)
     from speedy_tpu.utils import calendar as cal
 
-    cfg = from_preset(args.preset, precision="fp32", sppt_on=True)
+    cfg = from_preset(args.preset, precision="fp32", sppt_on=True,
+                      diag_every=3)
     model = Model(cfg)
     start = cal.Datetime(1982, 1, 1)
     state = model.initialize(start)

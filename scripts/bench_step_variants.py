@@ -4,12 +4,15 @@ Measures end-to-end ms/member-step of config variants on the same 5-day
 64-member workload as scripts/profile_ensemble.py. Results (r04, repeats
 within +-0.5%; now recorded in BASELINE.md):
 
-  diag_every=1 (reference per-step cadence)  0.121 ms/member-step
-  diag_every=3 (landed default)              0.105  <- 13.5% win
+  diag_every=1 (reference cadence, default)  0.121 ms/member-step
+  diag_every=3 (benches opt in)              0.105  <- 13.5% win
   donate_argnums on the state                neutral
   scan_unroll=12 (full triple unroll)        neutral
   synthesis_split=True                       UNSTABLE on TPU (config.py)
-  + LW band vectorization (landed)           0.1034
+  LW band vectorization                      0.1034 but REVERTED (6758aa7):
+                                             destabilizes 90-day T85; the
+                                             honest post-revert figure is
+                                             0.1045 (BASELINE.md r04)
 
 Usage: python scripts/bench_step_variants.py
 """
@@ -37,8 +40,8 @@ DAYS = 5
 MEMBERS = 64
 
 VARIANTS = {
-    "per-step-diag": dict(diag_every=1),
-    "default": dict(),                      # diag_every=3
+    "per-step-diag": dict(),            # diag_every=1 (landed default)
+    "bench-diag": dict(diag_every=3),   # benches opt into per-triple
     "unroll12": dict(scan_unroll=12),
 }
 

@@ -45,7 +45,7 @@ def build_ds_days(cfg, model, start, n_days):
 
 
 def main():
-    cfg = t30(precision="fp32", sppt_on=True)
+    cfg = t30(precision="fp32", sppt_on=True, diag_every=3)
     model = Model(cfg)
     start = cal.Datetime(1982, 1, 1)
     run_span = model.raw_fns["run_span"]

@@ -199,8 +199,8 @@ def main():
             olr_max_Wm2=round(float(s["olr"].max()), 1),
             t_sfc_global_K=round(gm(s["t"][cfg.kx - 1]), 1),
         )
-    np.savez(args.out, months=np.array(months, dtype=object),
-             allow_pickle=True)
+    # object array of per-month dicts: np.load needs allow_pickle=True
+    np.savez(args.out, months=np.array(months, dtype=object))
     print(json.dumps({"metric": f"climatology_{args.years}y",
                       "wall_s": round(wall, 1), **summary}))
 

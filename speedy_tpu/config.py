@@ -104,18 +104,29 @@ class ModelConfig:
     #                              tables to bf16 once and stages the bf16
     #                              copies, so explicit bf16 storage saves
     #                              nothing. Kept as documentation.
-    diag_every: int = 3          # stability-diagnostic cadence (steps) in
+    diag_every: int = 1          # stability-diagnostic cadence (steps) in
     #                              the fast on-device span path (run_fast /
-    #                              run_span / benches). The per-step
-    #                              diagnostic chain costs ~13.5% of the
-    #                              latency-bound step (measured r04,
-    #                              scripts/bench_step_variants.py); the
-    #                              span path's guard is day-granular
-    #                              anyway, so per-triple extrema detect
-    #                              the same instabilities. Model.run keeps
-    #                              the reference's exact per-step cadence
-    #                              (speedy.f90:41) regardless. Must divide
-    #                              nstrad.
+    #                              run_span). Default 1 = the reference's
+    #                              per-step cadence (speedy.f90:41), so
+    #                              "guard-clean" stability claims sample
+    #                              EVERY step. Benchmarks opt into 3
+    #                              explicitly (per-triple extrema; the
+    #                              per-step diagnostic chain costs ~13.5%
+    #                              of the latency-bound step, measured r04,
+    #                              scripts/bench_step_variants.py). Must
+    #                              divide nstrad.
+    lw_band_vectorized: bool = False  # EXPERIMENT: band-axis-vectorized
+    #                              LW sweeps (longwave.py *_vec). 1.3%
+    #                              step win, parity-green, but REVERTED
+    #                              as default in r04: 90-day T85 runs
+    #                              blow up at day 34-48 (commit 6758aa7).
+    #                              Retained behind this flag as the
+    #                              canonical reproducer for the fp32
+    #                              long-horizon stability investigation
+    #                              (docs/STABILITY.md).
+    allow_unstable: bool = False  # escape hatch for knobs documented
+    #                              unstable on TPU (synthesis_split);
+    #                              Model.__init__ refuses them otherwise.
 
     # ---- derived geometry ----
     @property

@@ -209,6 +209,14 @@ class Model:
 
     def __init__(self, cfg: ModelConfig, bc_search=None, sppt_seed: int = 0):
         self._bc_search = bc_search
+        if (cfg.synthesis_split and not cfg.allow_unstable
+                and jax.default_backend() != "cpu"):
+            # documented-unstable on TPU (config.py synthesis_split note):
+            # bit-identical to the merged path on CPU, NaN by day ~8 on TPU.
+            raise ValueError(
+                "synthesis_split=True is numerically unstable on TPU "
+                "backends (eddy KE 7->115->1800->NaN over 8 days; see "
+                "config.py). Pass allow_unstable=True to run it anyway.")
         if cfg.sea_coupling_flag >= 1:
             # parity with sea_model.f90:188-190
             raise NotImplementedError(

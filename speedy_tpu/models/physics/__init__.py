@@ -211,8 +211,11 @@ def get_physical_tendencies(cfg: ModelConfig, pp: PhysicsParams,
                              tt_rsw=dfabs_sw * rps[None] * grdscp,
                              ssrd=ssrd, ssr=ssr, tsr=tsr)
 
-    slrd, dfabs_lw, st4a1, st4a2, lwflux = longwave.downward_longwave(
-        pp.wvi2, rad.tau2, tg)
+    dlw = longwave.downward_longwave_vec if cfg.lw_band_vectorized \
+        else longwave.downward_longwave
+    ulw = longwave.upward_longwave_vec if cfg.lw_band_vectorized \
+        else longwave.upward_longwave
+    slrd, dfabs_lw, st4a1, st4a2, lwflux = dlw(pp.wvi2, rad.tau2, tg)
 
     # --- surface fluxes + land skin temperature (physics.f90:168-176) ---
     sfc, saved = surface_mod.surface_fluxes(
@@ -224,7 +227,7 @@ def get_physical_tendencies(cfg: ModelConfig, pp: PhysicsParams,
     # anomaly-coupled second sea pass (sea_coupling_flag > 0) is gated at
     # model build: the reference stops for flags >= 1 (sea_model.f90:188-190)
 
-    slr, olr, dfabs_lw = longwave.upward_longwave(
+    slr, olr, dfabs_lw = ulw(
         dhs, rad.tau2, rad.stratc, tg, sfc.tsfc,
         slrd, sfc.slru[2], st4a1, st4a2, lwflux, dfabs_lw)
     tt_rlw = dfabs_lw * rps[None] * grdscp

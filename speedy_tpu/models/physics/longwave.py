@@ -126,6 +126,112 @@ def downward_longwave(wvi2: np.ndarray, tau2: jnp.ndarray, ta: jnp.ndarray
     return slrd, dfabs, st4a1, st4a2, jnp.stack(flux, axis=0)
 
 
+def downward_longwave_vec(wvi2: np.ndarray, tau2: jnp.ndarray,
+                          ta: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+    """Band-vectorized variant of downward_longwave (same per-band
+    arithmetic; only the 4-band dfabs sum is reassociated, roundoff-level).
+
+    ~4x fewer sweep ops and scatter-free dfabs assembly (r04 measured
+    0.1048 -> 0.1034 ms/member-step) — but REVERTED as the default after
+    the 90-day T85 stability gate failed (commit 6758aa7; day-34 blowups
+    across three configs). Kept behind cfg.lw_band_vectorized=True for the
+    stability investigation (docs/STABILITY.md): this is the canonical
+    "parity-green roundoff change that destabilizes the long horizon".
+    """
+    kx = ta.shape[0]
+    nl1 = kx - 1
+
+    thalf = ta[:-1] + wvi2[: kx - 1, None, None] * (ta[1:] - ta[:-1])
+
+    st4a2 = [None] * kx
+    st4a2[0] = 0.75 * ta[0] + 0.25 * thalf[0]
+    st4a2[1] = 0.50 * ta[1] + 0.25 * (thalf[0] + thalf[1])
+    for k in range(2, nl1):
+        st4a2[k] = 0.5 * jnp.maximum(thalf[k] - thalf[k - 1], 0.0)
+    st4a2[kx - 1] = jnp.maximum(ta[kx - 1] - thalf[nl1 - 1], 0.0)
+
+    st4a1 = [None] * kx
+    for k in range(2):
+        st4a1[k] = SBC * st4a2[k]**4
+        st4a2[k] = jnp.zeros_like(ta[k])
+    for k in range(2, kx):
+        st3a = SBC * ta[k]**3
+        st4a1[k] = st3a * ta[k]
+        st4a2[k] = 4.0 * st3a * st4a2[k]
+    st4a1 = jnp.stack(st4a1, axis=0)
+    st4a2 = jnp.stack(st4a2, axis=0)
+
+    fb = jnp.moveaxis(_fband_at(ta), -1, 1)  # [kx, 4, il, ix]
+
+    # 3.1 stratosphere, bands 1-2, k=1
+    emis0 = 1.0 - tau2[:2, 0]
+    brad0 = fb[0, :2] * (st4a1[0] + emis0 * st4a2[0])
+    flux = jnp.concatenate(
+        [emis0 * brad0, jnp.zeros_like(tau2[2:, 0])], axis=0)  # [4, il, ix]
+    dfabs_levels = [-jnp.sum(flux[:2], axis=0)]
+
+    # 3.2 troposphere (all 4 bands at once)
+    for k in range(1, kx):
+        emis = 1.0 - tau2[:, k]
+        brad = fb[k] * (st4a1[k] + emis * st4a2[k])
+        dfa = jnp.sum(flux, axis=0)
+        flux = tau2[:, k] * flux + emis * brad
+        dfabs_levels.append(dfa - jnp.sum(flux, axis=0))
+
+    slrd = EMISFC * jnp.sum(flux, axis=0)
+
+    # 3.4 "black" band correction
+    corlw = EPSLW * EMISFC * st4a1[kx - 1]
+    dfabs_levels[kx - 1] = dfabs_levels[kx - 1] - corlw
+    slrd = slrd + corlw
+    dfabs = jnp.stack(dfabs_levels, axis=0)
+
+    return slrd, dfabs, st4a1, st4a2, flux
+
+
+def upward_longwave_vec(dhs: np.ndarray, tau2: jnp.ndarray,
+                        stratc: jnp.ndarray, ta: jnp.ndarray,
+                        ts: jnp.ndarray, fsfcd: jnp.ndarray,
+                        fsfcu: jnp.ndarray, st4a1: jnp.ndarray,
+                        st4a2: jnp.ndarray, flux: jnp.ndarray,
+                        dfabs: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+    """Band-vectorized variant of upward_longwave (see
+    downward_longwave_vec for why it is not the default)."""
+    kx = ta.shape[0]
+    refsfc = 1.0 - EMISFC
+    slr = fsfcu - fsfcd
+
+    fb_ts = jnp.moveaxis(_fband_at(ts), -1, 0)   # [4, il, ix]
+    fb = jnp.moveaxis(_fband_at(ta), -1, 1)      # [kx, 4, il, ix]
+    fluxes = fb_ts * fsfcu + refsfc * flux       # [4, il, ix]
+
+    dfa_add = [jnp.zeros_like(ta[0]) for _ in range(kx)]
+    dfa_add[kx - 1] = EPSLW * fsfcu
+
+    for k in range(kx - 1, 0, -1):  # 0-based kx-1 .. 1
+        emis = 1.0 - tau2[:, k]
+        brad = fb[k] * (st4a1[k] - emis * st4a2[k])
+        pre = jnp.sum(fluxes, axis=0)
+        fluxes = tau2[:, k] * fluxes + emis * brad
+        dfa_add[k] = dfa_add[k] + pre - jnp.sum(fluxes, axis=0)
+
+    # stratosphere k=1, bands 1-2
+    emis0 = 1.0 - tau2[:2, 0]
+    brad0 = fb[0, :2] * (st4a1[0] - emis0 * st4a2[0])
+    pre = jnp.sum(fluxes[:2], axis=0)
+    fluxes = jnp.concatenate([tau2[:2, 0] * fluxes[:2] + emis0 * brad0,
+                              fluxes[2:]], axis=0)
+    dfa_add[0] = dfa_add[0] + pre - jnp.sum(fluxes[:2], axis=0)
+
+    corlw1 = dhs[0] * stratc[1] * st4a1[0] + stratc[0]
+    corlw2 = dhs[1] * stratc[1] * st4a1[1]
+    dfa_add[0] = dfa_add[0] - corlw1
+    dfa_add[1] = dfa_add[1] - corlw2
+    olr = corlw1 + corlw2 + jnp.sum(fluxes, axis=0)
+    dfabs = dfabs + jnp.stack(dfa_add, axis=0)
+    return slr, olr, dfabs
+
+
 def upward_longwave(dhs: np.ndarray, tau2: jnp.ndarray,
                     stratc: jnp.ndarray, ta: jnp.ndarray, ts: jnp.ndarray,
                     fsfcd: jnp.ndarray, fsfcu: jnp.ndarray,

@@ -80,6 +80,17 @@ class Ensemble:
         model, cfg = self.model, self.model.cfg
         if output_writers is not None:
             assert len(output_writers) == self.n
+            if model_step == 0:
+                # initial-condition snapshot, mirroring Model.run's
+                # output_writer(0, ...) and the reference's t=0 file
+                # (input_output.f90 via speedy.f90:50); one vmapped
+                # compute + bulk fetch, not n tunneled per-member fetches
+                g0 = jax.jit(jax.vmap(model.raw_fns["gridded_fields"],
+                                      in_axes=(None, 0)))(
+                    model.mc, estate.prog)
+                g0 = {k: np.asarray(v) for k, v in g0.items()}
+                for m, w in enumerate(output_writers):
+                    w(0, start, start, {k: v[m] for k, v in g0.items()})
         date = start
         for _ in range(n_days):
             imont1, tmonth, tyear = cal.season_vars(date, cfg.iseasc,
@@ -96,7 +107,6 @@ class Ensemble:
             if collect:
                 _, grids = ys
                 grids = {k: np.asarray(v) for k, v in grids.items()}
-            day_start = date
             for i in range(cfg.nsteps):
                 date = cal.newdate(date, cfg.nsteps)
                 if collect:

@@ -210,6 +210,38 @@ def test_longwave_budget(cfg, geom, wvi2):
     assert float(np.asarray(dfabs2).mean()) < 0.0
 
 
+def test_longwave_vec_matches_reference_order(cfg, geom, wvi2):
+    """The band-vectorized sweeps (cfg.lw_band_vectorized, kept for the
+    stability investigation) must match the reference-ordered sweeps to
+    reassociation roundoff (exact in fp64 up to the 4-band sum order)."""
+    kx = cfg.kx
+    n = 32
+    rng = np.random.default_rng(7)
+    fsg = geom["fsg"]
+    ta = jnp.asarray(288.0 * np.maximum(0.3, fsg[:, None, None])**0.28
+                     + rng.normal(0, 3, (kx, 1, n)))
+    psa = jnp.asarray(np.exp(rng.normal(0, 0.02, (1, n))))
+    dp = np.asarray(psa)[None] * geom["dhs"][:, None, None]
+    tau2 = jnp.asarray(np.exp(-dp[None] * np.array([0.3, 6.0, 1.4, 25.0]
+                                                   )[:, None, None, None]
+                              * rng.uniform(0.5, 1.0, (4, kx, 1, n))))
+    stratc = jnp.asarray(rng.uniform(0, 5, (2, 1, n)))
+    a = longwave.downward_longwave(wvi2, tau2, ta)
+    b = longwave.downward_longwave_vec(wvi2, tau2, ta)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-12, atol=1e-12)
+    ts = ta[kx - 1] + 2.0
+    fsfcu = shortwave.EMISFC * 5.67e-8 * ts**4
+    ua = longwave.upward_longwave(geom["dhs"], tau2, stratc, ta, ts,
+                                  a[0], fsfcu, a[2], a[3], a[4], a[1])
+    ub = longwave.upward_longwave_vec(geom["dhs"], tau2, stratc, ta, ts,
+                                      b[0], fsfcu, b[2], b[3], b[4], b[1])
+    for x, y in zip(ua, ub):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-12, atol=1e-12)
+
+
 def test_co2_trend_wiring(cfg, geom):
     """increase_co2 scales the band-2 LW absorptivity with the forcing.f90
     trend: ablco2 = 6 * exp(0.005 * (year + tyear - 1950)); verify the daily
