@@ -279,6 +279,26 @@ class Model:
         return self._boot(self.mc, state, ds)
 
     # ------------------------------------------------------------------
+    def make_ds_days(self, date: cal.Datetime, start: cal.Datetime,
+                     n_days: int):
+        """DateScalars for n_days starting at `date` (run began at
+        `start`), stacked on a leading day axis for run_span; returns
+        (ds_days, end_date)."""
+        cfg = self.cfg
+        ds_list, d = [], date
+        for _ in range(n_days):
+            imont1, tmonth, tyear = cal.season_vars(d, cfg.iseasc,
+                                                    start.month)
+            im_n, tm_n, _ = cal.season_vars(cal.next_day(d), cfg.iseasc,
+                                            start.month)
+            ds_list.append(coupling.make_date_scalars(
+                cfg, self.geom_np, imont1, tmonth, tyear, year=d.year,
+                imont1_next=im_n, tmonth_next=tm_n))
+            for _ in range(cfg.nsteps):
+                d = cal.newdate(d, cfg.nsteps)
+        return jax.tree.map(lambda *xs: np.stack(xs), *ds_list), d
+
+    # ------------------------------------------------------------------
     def run_fast(self, start: cal.Datetime, n_days: int,
                  state: Optional[ModelState] = None,
                  check: bool = True) -> ModelState:
@@ -305,18 +325,7 @@ class Model:
                             cal.NDAYCAL[date.month - 1] - date.day + 1)
             else:
                 chunk = days_left
-            ds_list, d = [], date
-            for _ in range(chunk):
-                imont1, tmonth, tyear = cal.season_vars(d, cfg.iseasc,
-                                                        start.month)
-                im_n, tm_n, _ = cal.season_vars(cal.next_day(d), cfg.iseasc,
-                                                start.month)
-                ds_list.append(coupling.make_date_scalars(
-                    cfg, self.geom_np, imont1, tmonth, tyear, year=d.year,
-                    imont1_next=im_n, tmonth_next=tm_n))
-                for _ in range(cfg.nsteps):
-                    d = cal.newdate(d, cfg.nsteps)
-            ds_days = jax.tree.map(lambda *xs: np.stack(xs), *ds_list)
+            ds_days, d = self.make_ds_days(date, start, chunk)
             state, guard = self._run_span(self.mc, state, ds_days)
             if check:
                 reke, deke, tmin, tmax = [np.asarray(g) for g in guard]

@@ -859,3 +859,214 @@ def test_geopotential_point_values():
     phi_m = np.asarray(get_geopotential(gc, jnp.asarray(t_spec),
                                         jnp.asarray(phis)))
     np.testing.assert_allclose(phi_m, phi_e, rtol=1e-13, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+def test_cloud_diagnosis_point_values():
+    """shortwave_radiation.f90:332-410 (subroutine clouds).
+
+    Independent loop-literal transcription with the module constants from
+    shortwave_radiation.f90:15-27 (rhcl1=0.30, rhcl2=1.00, qacl=0.20,
+    wpcl=0.2, pmaxcl=10.0, clsmax=0.60, clsminl=0.15, gse_s0=0.25,
+    gse_s1=0.40), exercising every branch: the nl1 seed level, the
+    k=3..kx-2 max-RH scan with the qa>qacl gate, the precipitation
+    square-root term with its pmaxcl clamp, the iptop min, and the
+    sea/land stratiform split (clfact=1.2). Plus one hand-computed column.
+    """
+    from speedy_tpu.models.physics.shortwave import clouds
+
+    kx, il, ix = KX, 4, 8
+    rng = np.random.default_rng(31)
+    qa = rng.uniform(0.0, 10.0, (kx, il, ix))
+    rh = rng.uniform(0.0, 1.1, (kx, il, ix))
+    precnv = rng.uniform(0.0, 2.0e-4, (il, ix)) * (rng.random((il, ix)) < 0.7)
+    precls = rng.uniform(0.0, 1.0e-4, (il, ix))
+    gse = rng.uniform(0.1, 0.6, (il, ix))
+    fmask = rng.uniform(0.0, 1.0, (il, ix))
+    iptop = rng.integers(2, kx + 2, (il, ix)).astype(np.float64)
+
+    # hand-checkable column at (j=0, i=0): RHmax at nl1 = 0.65, dry column
+    # above, no precip, stable PBL, pure land
+    rh[:, 0, 0] = 0.10
+    rh[kx - 2, 0, 0] = 0.65
+    rh[kx - 1, 0, 0] = 1.00
+    qa[:, 0, 0] = 0.05          # below qacl: the k-scan never takes over
+    precnv[0, 0] = precls[0, 0] = 0.0
+    gse[0, 0] = 0.40            # fstab = 1
+    fmask[0, 0] = 1.0
+    iptop[0, 0] = kx + 1.0
+
+    # ---- transcription (Fortran rh(i,j,k) = our rh[k-1, j, i]) ----
+    nl1, nlp = kx - 1, kx + 1
+    rhcl1, rhcl2, qacl, wpcl, pmaxcl = 0.30, 1.00, 0.20, 0.2, 10.0
+    clsmax, clsminl, gse_s0, gse_s1 = 0.60, 0.15, 0.25, 0.40
+    rrcl = 1.0 / (rhcl2 - rhcl1)
+    cloudc_e = np.zeros((il, ix))
+    icltop_e = np.zeros((il, ix))
+    clstr_e = np.zeros((il, ix))
+    for j in range(il):
+        for i in range(ix):
+            if rh[nl1 - 1, j, i] > rhcl1:
+                cloudc_e[j, i] = rh[nl1 - 1, j, i] - rhcl1
+                icltop_e[j, i] = nl1
+            else:
+                cloudc_e[j, i] = 0.0
+                icltop_e[j, i] = nlp
+    for k in range(3, kx - 1):                 # 1-based k = 3..kx-2
+        for j in range(il):
+            for i in range(ix):
+                drh = rh[k - 1, j, i] - rhcl1
+                if drh > cloudc_e[j, i] and qa[k - 1, j, i] > qacl:
+                    cloudc_e[j, i] = drh
+                    icltop_e[j, i] = k
+    for j in range(il):
+        for i in range(ix):
+            pr1 = min(pmaxcl, 86.4 * (precnv[j, i] + precls[j, i]))
+            cloudc_e[j, i] = min(
+                1.0, wpcl * np.sqrt(pr1)
+                + min(1.0, cloudc_e[j, i] * rrcl) ** 2.0)
+            icltop_e[j, i] = min(iptop[j, i], icltop_e[j, i])
+    qcloud_e = qa[nl1 - 1]
+    clfact = 1.2
+    rgse = 1.0 / (gse_s1 - gse_s0)
+    for j in range(il):
+        for i in range(ix):
+            fstab = max(0.0, min(1.0, rgse * (gse[j, i] - gse_s0)))
+            clstr_e[j, i] = fstab * max(clsmax - clfact * cloudc_e[j, i],
+                                        0.0)
+            clstrl = max(clstr_e[j, i], clsminl) * rh[kx - 1, j, i]
+            clstr_e[j, i] = clstr_e[j, i] + fmask[j, i] * (clstrl
+                                                           - clstr_e[j, i])
+
+    # hand literals at (0,0): cloudc raw = 0.65-0.30 = 0.35;
+    # min(1, 0.35/0.7)^2 = 0.25; no precip -> cloudc = 0.25;
+    # clstr_sea = 1 * max(0.60 - 1.2*0.25, 0) = 0.30;
+    # land (fmask=1, rh_kx=1): clstr = max(0.30, 0.15) * 1.0 = 0.30
+    assert abs(cloudc_e[0, 0] - 0.25) < 1e-12
+    assert abs(clstr_e[0, 0] - 0.30) < 1e-12
+    assert icltop_e[0, 0] == nl1
+
+    icltop_m, cloudc_m, clstr_m, qcloud_m = clouds(
+        jnp.asarray(qa), jnp.asarray(rh), jnp.asarray(precnv),
+        jnp.asarray(precls), jnp.asarray(iptop), jnp.asarray(gse),
+        jnp.asarray(fmask))
+    np.testing.assert_allclose(np.asarray(cloudc_m), cloudc_e, rtol=1e-13)
+    np.testing.assert_array_equal(np.asarray(icltop_m, np.float64),
+                                  icltop_e)
+    np.testing.assert_allclose(np.asarray(clstr_m), clstr_e, rtol=1e-13)
+    np.testing.assert_allclose(np.asarray(qcloud_m), qcloud_e, rtol=1e-13)
+
+
+# ---------------------------------------------------------------------------
+def test_sea_ice_slab_point_values():
+    """sea_model.f90:387-444 (run_sea_model): slab-ocean anomaly damping,
+    ice/sea heat-flux difference, and the NONLINEAR ice damping
+    cdis = cdice * anom0/(anom0 + |tanom|), anom0 = 20 (lines 431-434).
+
+    hfseacl = 0 in every reachable configuration (sea_model.f90:186; the
+    flux-corrected modes stop at build, sea_model.f90:188-190). Points
+    cover tanom_i = 0 (cdis = cdice), +20 (exactly cdice/2), +60
+    (cdice/4) and -20.
+    """
+    from speedy_tpu.models.coupling import LandSeaParams, couple_step
+    from speedy_tpu.models.physics import (DailyForcing, SurfaceState,
+                                           Fluxes)
+    from speedy_tpu.models.physics.surface import SurfaceFluxes
+    from speedy_tpu.config import t30
+
+    il, ix = 1, 4
+    cfg = t30(precision="fp64")
+    arr = lambda *vals: np.array(vals, np.float64).reshape(il, ix)
+
+    # slab parameters (sea_model.f90:84-117 roles; values arbitrary)
+    rhcapl = arr(0.02, 0.02, 0.02, 0.02)
+    cdland = arr(0.97, 0.97, 0.97, 0.97)
+    rhcaps = arr(0.01, 0.012, 0.008, 0.01)
+    rhcapi = arr(0.015, 0.02, 0.01, 0.015)
+    cdsea = arr(0.95, 0.9, 0.99, 0.95)
+    cdice = arr(0.8, 0.6, 0.9, 0.8)
+    zeros = np.zeros((il, ix))
+    lsp = LandSeaParams(fmask_l=zeros, bmask_l=zeros, fmask_s=zeros,
+                        bmask_s=zeros, rhcapl=rhcapl, cdland=cdland,
+                        rhcaps=rhcaps, rhcapi=rhcapi, cdsea=cdsea,
+                        cdice=cdice, alb0=zeros, beta=1.0)
+
+    stlcl = arr(285.0, 290.0, 280.0, 295.0)
+    sstcl = arr(290.0, 288.0, 275.0, 300.0)
+    sicecl = arr(0.0, 0.3, 0.9, 0.1)
+    ticecl = arr(271.4, 265.0, 250.0, 270.0)
+    stl_lm = stlcl + arr(1.0, -2.0, 0.5, 0.0)
+    sst_om = sstcl + arr(0.5, -1.0, 2.0, 0.0)
+    # ice anomalies chosen for the cdis literals: 0, +20, +60, -20
+    tice_om = ticecl + arr(0.0, 20.0, 60.0, -20.0)
+    sice_am = arr(0.0, 0.4, 0.95, 0.2)
+    tice_am = arr(271.4, 264.0, 252.0, 268.0)
+
+    hfluxn_l = arr(30.0, -20.0, 5.0, 0.0)
+    hfluxn_s = arr(50.0, -40.0, 10.0, 25.0)
+    shf_s = arr(12.0, 8.0, -3.0, 20.0)
+    evap_s = arr(4.0e-3, 2.0e-3, 0.0, 6.0e-3)
+    ssrd = arr(250.0, 180.0, 40.0, 310.0)
+
+    # ---- transcription of run_sea_model (sea_model.f90:387-444) ----
+    albsea, albice, emisfc, sbc, alhc = 0.07, 0.60, 0.98, 5.67e-8, 2501.0
+    sstfr = 273.2 - 1.8
+    difice = ((albsea - albice) * ssrd
+              + emisfc * sbc * (sstfr ** 4.0 - tice_am ** 4.0)
+              + shf_s + evap_s * alhc)
+    hflux_i = hfluxn_s + difice * (1.0 - sice_am)
+    hflux = hfluxn_s - sicecl * (hflux_i + 1.0 * (sstfr - tice_om))
+    tanom = sst_om - sstcl
+    tanom = cdsea * (tanom + rhcaps * hflux)
+    sst_om_e = tanom + sstcl
+
+    hflux = hflux_i + 1.0 * (sstfr - tice_om)
+    tanom = tice_om - ticecl
+    anom0 = 20.0
+    cdis = cdice * (anom0 / (anom0 + np.abs(tanom)))
+    # literals: |tanom| = 0, 20, 60, 20 -> cdis/cdice = 1, 1/2, 1/4, 1/2
+    np.testing.assert_allclose(cdis / cdice,
+                               [[1.0, 0.5, 0.25, 0.5]], rtol=1e-15)
+    tanom = cdis * (tanom + rhcapi * hflux)
+    tice_om_e = tanom + ticecl
+    sice_om_e = sicecl
+
+    # land (land_model.f90:224-239)
+    tanom = stl_lm - stlcl
+    stl_lm_e = cdland * (tanom + rhcapl * hfluxn_l) + stlcl
+
+    # ---- drive the model's couple_step ----
+    j = jnp.asarray
+    daily = DailyForcing(
+        fsol=None, ozupp=None, ozone=None, zenit=None, stratz=None,
+        ablco2=None, alb_l=None, alb_s=None, albsfc=None, snowc=None,
+        tcorh=None, qcorh=None, stlcl_ob=j(stlcl), snowd_am=None,
+        soilw_am=None, sstcl_ob=j(sstcl), sicecl_ob=j(sicecl),
+        ticecl_ob=j(ticecl), sstan_ob=j(zeros), stlcl_nx=None,
+        sstcl_nx=None, sicecl_nx=None, ticecl_nx=None, sstan_nx=None)
+    surf = SurfaceState(stl_lm=j(stl_lm), stl_am=j(stl_lm),
+                        sst_om=j(sst_om), tice_om=j(tice_om),
+                        sice_om=j(sicecl), sst_am=j(sstcl),
+                        sice_am=j(sice_am), tice_am=j(tice_am),
+                        ssti_om=j(sst_om))
+    stack3 = lambda a: jnp.stack([jnp.zeros_like(a), a, a], axis=0)
+    sfc = SurfaceFluxes(ustr=None, vstr=None, shf=stack3(j(shf_s)),
+                        evap=stack3(j(evap_s)),
+                        slru=None,
+                        hfluxn=jnp.stack([j(hfluxn_l), j(hfluxn_s)], axis=0),
+                        tsfc=None, tskin=None, u0=None, v0=None, t0=None)
+    fl = Fluxes(precnv=None, precls=None, cbmf=None, tsr=None,
+                ssrd=j(ssrd), ssr=None, slrd=None, slr=None, olr=None,
+                sfc=sfc)
+    out = couple_step(cfg, lsp, daily, surf, fl)
+
+    np.testing.assert_allclose(np.asarray(out.sst_om), sst_om_e, rtol=1e-14)
+    np.testing.assert_allclose(np.asarray(out.tice_om), tice_om_e,
+                               rtol=1e-14)
+    np.testing.assert_allclose(np.asarray(out.sice_om), sice_om_e,
+                               rtol=1e-15)
+    np.testing.assert_allclose(np.asarray(out.stl_lm), stl_lm_e, rtol=1e-14)
+    # atmosphere-seen SST blend (sea_model.f90:327-362):
+    # sst_am = sstcl + sice*(tice - sstcl) with the UPDATED ice fields
+    sst_am_e = sstcl + sice_om_e * (tice_om_e - sstcl)
+    np.testing.assert_allclose(np.asarray(out.sst_am), sst_am_e, rtol=1e-14)
