@@ -115,15 +115,28 @@ class ModelConfig:
     #                              of the latency-bound step, measured r04,
     #                              scripts/bench_step_variants.py). Must
     #                              divide nstrad.
-    lw_band_vectorized: bool = False  # EXPERIMENT: band-axis-vectorized
-    #                              LW sweeps (longwave.py *_vec). 1.3%
-    #                              step win, parity-green, but REVERTED
-    #                              as default in r04: 90-day T85 runs
-    #                              blow up at day 34-48 (commit 6758aa7).
-    #                              Retained behind this flag as the
-    #                              canonical reproducer for the fp32
-    #                              long-horizon stability investigation
-    #                              (docs/STABILITY.md).
+    fuse_physics: bool = False   # run the whole column-physics chain as
+    #                              ONE Pallas VPU kernel over latitude
+    #                              tiles (physics/fused.py) instead of
+    #                              ~700 XLA mini-kernels. Same arithmetic
+    #                              (the kernel calls grid_physics_core,
+    #                              the single source of truth); subject to
+    #                              the 90-day stability gate like every
+    #                              compile change (scripts/
+    #                              stability_gate.py).
+    lw_band_vectorized: bool = True  # band-axis-vectorized LW sweeps
+    #                              (longwave.py *_vec; 1.3% step win,
+    #                              parity-green). Reverted in r04 when it
+    #                              exposed the T85 stability cliff
+    #                              (day-34-48 blowups, commit 6758aa7);
+    #                              RE-LANDED in r05 after the
+    #                              investigation (docs/STABILITY.md)
+    #                              found the mechanism — under-damped
+    #                              stretch presets, not this change —
+    #                              and the resolution-scaled damping
+    #                              defaults hold 360-day T85 and 90-day
+    #                              T170 runs clean with it on. False
+    #                              restores the reference sweep order.
     allow_unstable: bool = False  # escape hatch for knobs documented
     #                              unstable on TPU (synthesis_split);
     #                              Model.__init__ refuses them otherwise.
@@ -174,11 +187,23 @@ def t85(**kw) -> ModelConfig:
     (utils/io.regrid_latlon) when no native-resolution files are provided.
     nsteps=96 (dt=900 s) keeps the leapfrog advectively stable at the
     ~156 km equatorial grid spacing (the reference's 2400 s is T30-only).
+
+    Damping times are resolution-scaled (halved vs the reference's
+    T30-tuned 2.4 h) after the r05 stability investigation
+    (docs/STABILITY.md): with the T30 values, T85 fp32 sits at a
+    stability cliff where parity-green compile-roundoff changes (LW band
+    vectorization, f32-vs-bf16 matmuls) flip 90-day runs into day-35-50
+    blowups; with thd/thdd = 1.2 h the same binaries run 360 days clean.
+    T42/T63 interpolate the measured T30/T85/T170 anchors
+    (thd ~ 2.4 * (30/trunc)^0.67).
     """
     kw.setdefault("trunc", 85)
     kw.setdefault("ix", 256)
     kw.setdefault("il", 128)
     kw.setdefault("nsteps", 96)
+    kw.setdefault("thd", 1.2)
+    kw.setdefault("thdd", 1.2)
+    kw.setdefault("thds", 6.0)
     return ModelConfig(**kw).validate()
 
 
@@ -190,6 +215,9 @@ def t42(**kw) -> ModelConfig:
     kw.setdefault("ix", 128)
     kw.setdefault("il", 64)
     kw.setdefault("nsteps", 72)
+    kw.setdefault("thd", 1.9)
+    kw.setdefault("thdd", 1.9)
+    kw.setdefault("thds", 9.5)
     return ModelConfig(**kw).validate()
 
 
@@ -199,6 +227,9 @@ def t63(**kw) -> ModelConfig:
     kw.setdefault("ix", 192)
     kw.setdefault("il", 96)
     kw.setdefault("nsteps", 90)
+    kw.setdefault("thd", 1.45)
+    kw.setdefault("thdd", 1.45)
+    kw.setdefault("thds", 7.25)
     return ModelConfig(**kw).validate()
 
 
