@@ -22,7 +22,8 @@ from ...config import ModelConfig
 from ...constants import CP, GRAV, P0
 from ...ops import spectral as sp
 from ..state import PrognosticState
-from . import condensation, convection, longwave, shortwave, sppt as sppt_mod
+from . import condensation, convection, longwave, rowops, shortwave, \
+    sppt as sppt_mod
 from . import surface as surface_mod
 from . import vertical_diffusion as vdif_mod
 from .humidity import spec_hum_to_rel_hum
@@ -151,6 +152,111 @@ class PhysicsAux(NamedTuple):
     sppt: Optional[SpptState]
 
 
+def grid_physics_core(cfg: ModelConfig, pp: PhysicsParams,
+                      compute_sw: bool,
+                      ug, vg, tg, qg, phig, pslg,
+                      fsol, ozupp, ozone, zenit, stratz, albsfc, ablco2,
+                      alb_l, alb_s, snowc, soilw_am, stl_am, sst_am,
+                      forog, coa, phis0, fmask_l,
+                      tau2_in=None, stratc_in=None, tt_rsw_in=None,
+                      ssrd_in=None):
+    """The column-local grid-point physics chain (physics.f90:43-205):
+    humidity -> convection -> LSC -> [SW clouds+fluxes] -> LW down ->
+    surface fluxes -> LW up -> vertical diffusion + flux injection.
+
+    Shape-agnostic over the latitude extent: every input is [kx, L, ix],
+    [L, ix], [L, 1], or [L] for ANY latitude tile L, so the same code runs
+    (a) on the full grid under plain XLA and (b) inside the fused Pallas
+    VPU kernel on latitude tiles (physics/fused.py) — one source of truth
+    for the physics arithmetic. On non-SW steps pass the carried
+    RadiationState fields (tau2_in..ssrd_in); on SW steps they are
+    computed and returned.
+
+    Returns (utend, vtend, ttend, qtend, precnv, precls, cbmf, slrd, slr,
+    olr, sfc[, tau2, stratc, tt_rsw, ssrd, ssr, tsr if compute_sw]).
+    """
+    kx = cfg.kx
+    fsg, dhs, sigh = pp.fsg, pp.dhs, pp.sigh
+    grdsig = pp.grdsig[:, None, None]
+    grdscp = pp.grdscp[:, None, None]
+
+    psg = jnp.exp(pslg)
+    rps = 1.0 / psg
+    qg = jnp.maximum(qg, 0.0)
+    se = CP * tg + phig
+    # per-level qsat with pressure sig*psa (sig broadcast as [kx,1,1])
+    rh, qsat = spec_hum_to_rel_hum(tg, psg[None], fsg[:, None, None], qg)
+
+    # --- precipitation (physics.f90:124-138) ---
+    itop, cbmf, precnv, dfse, dfqa = convection.convection(
+        fsg, dhs, pp.wvi2, psg, se, qg, qsat)
+    tt_cnv = dfse * rps[None] * grdscp
+    qt_cnv = dfqa * rps[None] * grdsig
+    # level 1 never scaled/used (loops start at k=2; dfse[0] == 0)
+    icnv = kx - itop
+
+    itop, precls, tt_lsc, qt_lsc = condensation.large_scale_condensation(
+        fsg, dhs, psg, qg, qsat, itop)  # np tables: slices fold at trace
+
+    ttend = tt_cnv + tt_lsc
+    qtend = qt_cnv + qt_lsc
+    utend = jnp.zeros_like(ttend)
+    vtend = jnp.zeros_like(ttend)
+
+    # --- radiation (physics.f90:144-186) ---
+    if compute_sw:
+        gse = (se[kx - 2] - se[kx - 1]) / (phig[kx - 2] - phig[kx - 1])
+        icltop, cloudc, clstr, qcloud = shortwave.clouds(
+            qg, rh, precnv, precls, itop, gse, fmask_l)
+        (ssrd, ssr, tsr, dfabs_sw, tau2,
+         stratc) = shortwave.shortwave_rad_fluxes(
+            fsg, dhs, fsol, ozupp, ozone, zenit, stratz, albsfc, psg, qg,
+            icltop, cloudc, clstr, qcloud, ablco2=ablco2)
+        tt_rsw = dfabs_sw * rps[None] * grdscp
+    else:
+        tau2, stratc, tt_rsw, ssrd = (tau2_in, stratc_in, tt_rsw_in,
+                                      ssrd_in)
+
+    dlw = longwave.downward_longwave_vec if cfg.lw_band_vectorized \
+        else longwave.downward_longwave
+    ulw = longwave.upward_longwave_vec if cfg.lw_band_vectorized \
+        else longwave.upward_longwave
+    slrd, dfabs_lw, st4a1, st4a2, lwflux = dlw(pp.wvi2, tau2, tg)
+
+    # --- surface fluxes + land skin temperature (physics.f90:168-176) ---
+    sfc, _saved = surface_mod.surface_fluxes(
+        float(pp.wvi2[kx - 1]), float(pp.sigl[kx - 1]), forog, coa,
+        stl_am, soilw_am, alb_l, alb_s, snowc,
+        psg, ug, vg, tg, qg, rh, phig, phis0, fmask_l, sst_am, ssrd, slrd)
+    # anomaly-coupled second sea pass (sea_coupling_flag > 0) is gated at
+    # model build: the reference stops for flags >= 1 (sea_model.f90:188-190)
+
+    slr, olr, dfabs_lw = ulw(
+        dhs, tau2, stratc, tg, sfc.tsfc,
+        slrd, sfc.slru[2], st4a1, st4a2, lwflux, dfabs_lw)
+    tt_rlw = dfabs_lw * rps[None] * grdscp
+    ttend = ttend + tt_rsw + tt_rlw
+
+    # --- PBL: vertical diffusion + surface-flux injection
+    # (physics.f90:192-205) ---
+    ut_pbl, vt_pbl, tt_pbl, qt_pbl = vdif_mod.vertical_diffusion(
+        fsg, dhs, sigh, se, rh, qg, qsat, phig, icnv)
+    ut_pbl = rowops.row_add(ut_pbl, kx - 1, sfc.ustr[2] * rps * pp.grdsig[kx - 1])
+    vt_pbl = rowops.row_add(vt_pbl, kx - 1, sfc.vstr[2] * rps * pp.grdsig[kx - 1])
+    tt_pbl = rowops.row_add(tt_pbl, kx - 1, sfc.shf[2] * rps * pp.grdscp[kx - 1])
+    qt_pbl = rowops.row_add(qt_pbl, kx - 1, sfc.evap[2] * rps * pp.grdsig[kx - 1])
+    utend = utend + ut_pbl
+    vtend = vtend + vt_pbl
+    ttend = ttend + tt_pbl
+    qtend = qtend + qt_pbl
+
+    base = (utend, vtend, ttend, qtend, precnv, precls, cbmf, slrd, slr,
+            olr, sfc)
+    if compute_sw:
+        return base + (tau2, stratc, tt_rsw, ssrd, ssr, tsr)
+    return base
+
+
 def get_physical_tendencies(cfg: ModelConfig, pp: PhysicsParams,
                             sc: sp.SpectralConsts, daily: DailyForcing,
                             surf: SurfaceState, rad: RadiationState,
@@ -168,83 +274,29 @@ def get_physical_tendencies(cfg: ModelConfig, pp: PhysicsParams,
     tendencies, plus PhysicsAux. ``compute_sw`` is a static Python bool
     (shortwave cadence, speedy.f90:35).
     """
-    kx = cfg.kx
-    fsg, dhs, sigh = pp.fsg, pp.dhs, pp.sigh
-    grdsig = pp.grdsig[:, None, None]
-    grdscp = pp.grdscp[:, None, None]
-
-    ug, vg, tg, qg, phig, pslg = (pg.ug, pg.vg, pg.tg, pg.qg, pg.phig,
-                                  pg.pslg)
-    psg = jnp.exp(pslg)
-    rps = 1.0 / psg
-    qg = jnp.maximum(qg, 0.0)
-    se = CP * tg + phig
-    # per-level qsat with pressure sig*psa (sig broadcast as [kx,1,1])
-    rh, qsat = spec_hum_to_rel_hum(tg, psg[None], fsg[:, None, None], qg)
-
-    # --- precipitation (physics.f90:124-138) ---
-    itop, cbmf, precnv, dfse, dfqa = convection.convection(
-        fsg, dhs, pp.wvi2, psg, se, qg, qsat)
-    tt_cnv = dfse * rps[None] * grdscp
-    qt_cnv = dfqa * rps[None] * grdsig
-    # level 1 never scaled/used (loops start at k=2; dfse[0] == 0)
-    icnv = kx - itop
-
-    itop, precls, tt_lsc, qt_lsc = condensation.large_scale_condensation(
-        jnp.asarray(fsg), jnp.asarray(dhs), psg, qg, qsat, itop)
-
-    ttend = tt_cnv + tt_lsc
-    qtend = qt_cnv + qt_lsc
-    utend = jnp.zeros_like(ttend)
-    vtend = jnp.zeros_like(ttend)
-
-    # --- radiation (physics.f90:144-186) ---
+    if cfg.fuse_physics:
+        from . import fused
+        outs = fused.fused_grid_physics(cfg, pp, compute_sw, daily, surf,
+                                        rad, pg)
+    else:
+        outs = grid_physics_core(
+            cfg, pp, compute_sw,
+            pg.ug, pg.vg, pg.tg, pg.qg, pg.phig, pg.pslg,
+            daily.fsol, daily.ozupp, daily.ozone, daily.zenit,
+            daily.stratz, daily.albsfc, daily.ablco2, daily.alb_l,
+            daily.alb_s, daily.snowc, daily.soilw_am, surf.stl_am,
+            surf.sst_am, jnp.asarray(pp.forog), jnp.asarray(pp.coa),
+            jnp.asarray(pp.phis0), jnp.asarray(pp.fmask_l),
+            None if compute_sw else rad.tau2,
+            None if compute_sw else rad.stratc,
+            None if compute_sw else rad.tt_rsw,
+            None if compute_sw else rad.ssrd)
+    (utend, vtend, ttend, qtend, precnv, precls, cbmf, slrd, slr, olr,
+     sfc) = outs[:11]
     if compute_sw:
-        gse = (se[kx - 2] - se[kx - 1]) / (phig[kx - 2] - phig[kx - 1])
-        icltop, cloudc, clstr, qcloud = shortwave.clouds(
-            qg, rh, precnv, precls, itop, gse, jnp.asarray(pp.fmask_l))
-        ssrd, ssr, tsr, dfabs_sw, tau2, stratc = shortwave.shortwave_rad_fluxes(
-            fsg, dhs, daily.fsol, daily.ozupp, daily.ozone, daily.zenit,
-            daily.stratz, daily.albsfc, psg, qg, icltop, cloudc, clstr,
-            qcloud, ablco2=daily.ablco2)
-        rad = RadiationState(tau2=tau2, stratc=stratc,
-                             tt_rsw=dfabs_sw * rps[None] * grdscp,
+        tau2, stratc, tt_rsw, ssrd, ssr, tsr = outs[11:]
+        rad = RadiationState(tau2=tau2, stratc=stratc, tt_rsw=tt_rsw,
                              ssrd=ssrd, ssr=ssr, tsr=tsr)
-
-    dlw = longwave.downward_longwave_vec if cfg.lw_band_vectorized \
-        else longwave.downward_longwave
-    ulw = longwave.upward_longwave_vec if cfg.lw_band_vectorized \
-        else longwave.upward_longwave
-    slrd, dfabs_lw, st4a1, st4a2, lwflux = dlw(pp.wvi2, rad.tau2, tg)
-
-    # --- surface fluxes + land skin temperature (physics.f90:168-176) ---
-    sfc, saved = surface_mod.surface_fluxes(
-        float(pp.wvi2[kx - 1]), float(pp.sigl[kx - 1]),
-        jnp.asarray(pp.forog), jnp.asarray(pp.coa),
-        surf.stl_am, daily.soilw_am, daily.alb_l, daily.alb_s, daily.snowc,
-        psg, ug, vg, tg, qg, rh, phig, jnp.asarray(pp.phis0),
-        jnp.asarray(pp.fmask_l), surf.sst_am, rad.ssrd, slrd)
-    # anomaly-coupled second sea pass (sea_coupling_flag > 0) is gated at
-    # model build: the reference stops for flags >= 1 (sea_model.f90:188-190)
-
-    slr, olr, dfabs_lw = ulw(
-        dhs, rad.tau2, rad.stratc, tg, sfc.tsfc,
-        slrd, sfc.slru[2], st4a1, st4a2, lwflux, dfabs_lw)
-    tt_rlw = dfabs_lw * rps[None] * grdscp
-    ttend = ttend + rad.tt_rsw + tt_rlw
-
-    # --- PBL: vertical diffusion + surface-flux injection
-    # (physics.f90:192-205) ---
-    ut_pbl, vt_pbl, tt_pbl, qt_pbl = vdif_mod.vertical_diffusion(
-        fsg, dhs, sigh, se, rh, qg, qsat, phig, icnv)
-    ut_pbl = ut_pbl.at[kx - 1].add(sfc.ustr[2] * rps * pp.grdsig[kx - 1])
-    vt_pbl = vt_pbl.at[kx - 1].add(sfc.vstr[2] * rps * pp.grdsig[kx - 1])
-    tt_pbl = tt_pbl.at[kx - 1].add(sfc.shf[2] * rps * pp.grdscp[kx - 1])
-    qt_pbl = qt_pbl.at[kx - 1].add(sfc.evap[2] * rps * pp.grdsig[kx - 1])
-    utend = utend + ut_pbl
-    vtend = vtend + vt_pbl
-    ttend = ttend + tt_pbl
-    qtend = qtend + qt_pbl
 
     # --- SPPT multiplicative noise on the physics increments
     # (physics.f90:207-222) ---

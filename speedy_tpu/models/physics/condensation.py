@@ -7,9 +7,11 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import numpy as np
 import jax.numpy as jnp
 
 from ...constants import ALHC, CP, GRAV, P0
+from . import rowops
 
 TRLSC = 4.0    # relaxation time (h)
 RHLSC = 0.9    # RH threshold at sigma=1
@@ -32,7 +34,7 @@ def large_scale_condensation(geom_fsg: jnp.ndarray, geom_dhs: jnp.ndarray,
 
     sig2 = geom_fsg**2                       # [kx]
     rhref = RHLSC + DRHLSC * (sig2 - 1.0)
-    rhref = rhref.at[kx - 1].set(jnp.maximum(rhref[kx - 1], RHBLSC))
+    rhref = rowops.row_set(rhref, kx - 1, jnp.maximum(rhref[kx - 1], RHBLSC))
     dqmax = qsmax * sig2 * rtlsc
 
     dqa = rhref[:, None, None] * qsat - qa   # [kx, il, ix]
@@ -42,12 +44,12 @@ def large_scale_condensation(geom_fsg: jnp.ndarray, geom_dhs: jnp.ndarray,
         cond,
         tfact * jnp.minimum(-dqlsc, dqmax[:, None, None] * psa2), 0.0)
     # level 1 (k=0) excluded (lsc f90:58-59, loops start at k=2)
-    dqlsc = dqlsc.at[0].set(0.0)
-    dtlsc = dtlsc.at[0].set(0.0)
-    cond = cond.at[0].set(False)
+    dqlsc = rowops.row_set(dqlsc, 0, 0.0)
+    dtlsc = rowops.row_set(dtlsc, 0, 0.0)
+    cond = rowops.row_set(cond, 0, False)
 
     # cloud-top update: itop = min(lowest condensing k, itop), 1-based
-    k1b = jnp.arange(1, kx + 1)[:, None, None]
+    k1b = np.arange(1, kx + 1)[:, None, None]  # np: Pallas-safe constant
     ktop = jnp.min(jnp.where(cond, k1b, kx + 1), axis=0)
     itop = jnp.minimum(ktop, itop)
 

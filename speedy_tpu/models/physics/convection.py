@@ -13,6 +13,7 @@ from typing import Tuple
 import jax.numpy as jnp
 
 from ...constants import ALHC, GRAV, P0
+from . import rowops
 
 PSMIN = 0.8    # minimum normalized ps for convection
 TRCNV = 6.0    # relaxation time (h)
@@ -112,8 +113,8 @@ def convection(geom_fsg: jnp.ndarray, geom_dhs: jnp.ndarray,
     fuq = cbmf * qmax
     fds = cbmf * sb
     fdq = cbmf * qb
-    dfse = dfse.at[kx - 1].set(jnp.where(conv, fds - fus, 0.0))
-    dfqa = dfqa.at[kx - 1].set(jnp.where(conv, fdq - fuq, 0.0))
+    dfse = rowops.row_set(dfse, kx - 1, jnp.where(conv, fds - fus, 0.0))
+    dfqa = rowops.row_set(dfqa, kx - 1, jnp.where(conv, fdq - fuq, 0.0))
 
     # --- 3.2 intermediate layers, downward static sweep k = kx-1 .. 2 ---
     precnv = jnp.zeros_like(psa)
@@ -123,8 +124,8 @@ def convection(geom_fsg: jnp.ndarray, geom_dhs: jnp.ndarray,
         top = conv & (k == itop)
 
         # entering the mid region: flux at the layer's lower boundary
-        dfse = dfse.at[k0].add(jnp.where(mid, fus - fds, 0.0))
-        dfqa = dfqa.at[k0].add(jnp.where(mid, fuq - fdq, 0.0))
+        dfse = rowops.row_add(dfse, k0, jnp.where(mid, fus - fds, 0.0))
+        dfqa = rowops.row_add(dfqa, k0, jnp.where(mid, fuq - fdq, 0.0))
 
         enmass = entr[k - 2] * psa * cbmf
         fmass_n = fmass + enmass
@@ -135,21 +136,23 @@ def convection(geom_fsg: jnp.ndarray, geom_dhs: jnp.ndarray,
         fds_n = fmass_n * sb_k
         fdq_n = fmass_n * qb_k
 
-        dfse = dfse.at[k0].add(jnp.where(mid, fds_n - fus_n, 0.0))
-        dfqa = dfqa.at[k0].add(jnp.where(mid, fdq_n - fuq_n, 0.0))
+        dfse = rowops.row_add(dfse, k0, jnp.where(mid, fds_n - fus_n, 0.0))
+        dfqa = rowops.row_add(dfqa, k0, jnp.where(mid, fdq_n - fuq_n, 0.0))
 
         # secondary moisture flux (convection.f90:136-142)
         delq = RHIL * qsat[k0] - qa[k0]
         fsq = jnp.where(mid & (delq > 0.0), SMF * cbmf * delq, 0.0)
-        dfqa = dfqa.at[k0].add(fsq)
-        dfqa = dfqa.at[kx - 1].add(-fsq)
+        dfqa = rowops.row_add(dfqa, k0, fsq)
+        dfqa = rowops.row_add(dfqa, kx - 1, -fsq)
 
         # --- 3.3 top layer: condensation and detrainment ---
         qsatb = qsat[k0] + wvi2[k0] * (qsat[k0 + 1] - qsat[k0])
         prec_k = jnp.maximum(fuq - fmass * qsatb, 0.0)
         precnv = jnp.where(top, prec_k, precnv)
-        dfse = dfse.at[k0].add(jnp.where(top, fus - fds + ALHC * prec_k, 0.0))
-        dfqa = dfqa.at[k0].add(jnp.where(top, fuq - fdq - prec_k, 0.0))
+        dfse = rowops.row_add(dfse, k0,
+                              jnp.where(top, fus - fds + ALHC * prec_k, 0.0))
+        dfqa = rowops.row_add(dfqa, k0,
+                              jnp.where(top, fuq - fdq - prec_k, 0.0))
 
         # commit running accumulators only where the mid sweep was active
         fmass = jnp.where(mid, fmass_n, fmass)

@@ -14,6 +14,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ...constants import SBC
+from . import rowops
 from .shortwave import EPSLW, EMISFC
 
 NBAND = 4
@@ -101,7 +102,7 @@ def downward_longwave(wvi2: np.ndarray, tau2: jnp.ndarray, ta: jnp.ndarray
         emis = 1.0 - tau2[jb, 0]
         brad = fb[0, ..., jb] * (st4a1[0] + emis * st4a2[0])
         flux[jb] = emis * brad
-        dfabs = dfabs.at[0].add(-flux[jb])
+        dfabs = rowops.row_add(dfabs, 0, -flux[jb])
     for jb in range(2, NBAND):
         flux[jb] = jnp.zeros_like(ta[0])
 
@@ -111,16 +112,16 @@ def downward_longwave(wvi2: np.ndarray, tau2: jnp.ndarray, ta: jnp.ndarray
         for k in range(1, kx):
             emis = 1.0 - tau2[jb, k]
             brad = fb[k, ..., jb] * (st4a1[k] + emis * st4a2[k])
-            dfabs = dfabs.at[k].add(f)
+            dfabs = rowops.row_add(dfabs, k, f)
             f = tau2[jb, k] * f + emis * brad
-            dfabs = dfabs.at[k].add(-f)
+            dfabs = rowops.row_add(dfabs, k, -f)
         flux[jb] = f
 
     slrd = EMISFC * (flux[0] + flux[1] + flux[2] + flux[3])
 
     # 3.4 "black" band correction
     corlw = EPSLW * EMISFC * st4a1[kx - 1]
-    dfabs = dfabs.at[kx - 1].add(-corlw)
+    dfabs = rowops.row_add(dfabs, kx - 1, -corlw)
     slrd = slrd + corlw
 
     return slrd, dfabs, st4a1, st4a2, jnp.stack(flux, axis=0)
@@ -248,29 +249,29 @@ def upward_longwave(dhs: np.ndarray, tau2: jnp.ndarray,
     fluxes = [fb_ts[..., jb] * fsfcu + refsfc * flux[jb]
               for jb in range(NBAND)]
 
-    dfabs = dfabs.at[kx - 1].add(EPSLW * fsfcu)
+    dfabs = rowops.row_add(dfabs, kx - 1, EPSLW * fsfcu)
 
     for jb in range(NBAND):
         f = fluxes[jb]
         for k in range(kx - 1, 0, -1):  # 0-based kx-1 .. 1
             emis = 1.0 - tau2[jb, k]
             brad = fb[k, ..., jb] * (st4a1[k] - emis * st4a2[k])
-            dfabs = dfabs.at[k].add(f)
+            dfabs = rowops.row_add(dfabs, k, f)
             f = tau2[jb, k] * f + emis * brad
-            dfabs = dfabs.at[k].add(-f)
+            dfabs = rowops.row_add(dfabs, k, -f)
         fluxes[jb] = f
 
     # stratosphere k=1, bands 1-2
     for jb in range(2):
         emis = 1.0 - tau2[jb, 0]
         brad = fb[0, ..., jb] * (st4a1[0] - emis * st4a2[0])
-        dfabs = dfabs.at[0].add(fluxes[jb])
+        dfabs = rowops.row_add(dfabs, 0, fluxes[jb])
         fluxes[jb] = tau2[jb, 0] * fluxes[jb] + emis * brad
-        dfabs = dfabs.at[0].add(-fluxes[jb])
+        dfabs = rowops.row_add(dfabs, 0, -fluxes[jb])
 
     corlw1 = dhs[0] * stratc[1] * st4a1[0] + stratc[0]
     corlw2 = dhs[1] * stratc[1] * st4a1[1]
-    dfabs = dfabs.at[0].add(-corlw1)
-    dfabs = dfabs.at[1].add(-corlw2)
+    dfabs = rowops.row_add(dfabs, 0, -corlw1)
+    dfabs = rowops.row_add(dfabs, 1, -corlw2)
     olr = corlw1 + corlw2 + fluxes[0] + fluxes[1] + fluxes[2] + fluxes[3]
     return slr, olr, dfabs

@@ -17,6 +17,8 @@ from typing import NamedTuple, Tuple
 import numpy as np
 import jax.numpy as jnp
 
+from . import rowops
+
 SOLC = 342.0
 RHCL1, RHCL2 = 0.30, 1.00
 QACL = 0.20
@@ -162,7 +164,7 @@ def shortwave_rad_fluxes(fsg: np.ndarray, dhs: np.ndarray,
     nl1 = kx - 1
     fband2 = 0.05
     fband1 = 1.0 - fband2
-    k1b = jnp.arange(1, kx + 1)[:, None, None]  # 1-based level index grid
+    k1b = np.arange(1, kx + 1)[:, None, None]  # 1-based levels (np: Pallas-safe constant)
 
     # --- SW transmissivity (bands 1-2) and cloud reflection (band 3) ---
     psaz = psa * zenit
@@ -174,17 +176,17 @@ def shortwave_rad_fluxes(fsg: np.ndarray, dhs: np.ndarray,
                     * (abs1[:, None, None] + ABSWV1 * qa
                        + jnp.where(in_cloud, acloud[None], 0.0)))
     # k=1: dry only; k=kx: no cloud term
-    tau_1 = tau_1.at[0].set(jnp.exp(-psaz * dhs[0] * ABSDRY))
-    tau_1 = tau_1.at[kx - 1].set(
+    tau_1 = rowops.row_set(tau_1, 0, jnp.exp(-psaz * dhs[0] * ABSDRY))
+    tau_1 = rowops.row_set(tau_1, kx - 1,
         jnp.exp(-psaz * dhs[kx - 1] * (abs1[kx - 1] + ABSWV1 * qa[kx - 1])))
     tau_2 = jnp.exp(-psaz[None] * dhs[:, None, None] * ABSWV2 * qa)
 
     # cloud reflection entries (tau2 band 3)
     refl = jnp.where(k1b == icltop[None], ALBCL * cloudc[None], 0.0)
-    refl = refl.at[kx - 1].add(ALBCLS * clstr)
+    refl = rowops.row_add(refl, kx - 1, ALBCLS * clstr)
     # (if icltop == kx the reference overwrites with the stratiform term;
     # match by recomputing that entry)
-    refl = refl.at[kx - 1].set(jnp.where(
+    refl = rowops.row_set(refl, kx - 1, jnp.where(
         icltop == kx, ALBCL * cloudc * 0.0 + ALBCLS * clstr,
         refl[kx - 1]))
 
@@ -239,8 +241,8 @@ def shortwave_rad_fluxes(fsg: np.ndarray, dhs: np.ndarray,
     lw3 = jnp.exp(-dp * ABLWV1 * qa)
     lw4 = jnp.exp(-dp * ABLWV2 * qa)
     # stratosphere (k=1): no water vapour bands
-    lw3 = lw3.at[0].set(1.0)
-    lw4 = lw4.at[0].set(1.0)
+    lw3 = rowops.row_set(lw3, 0, 1.0)
+    lw4 = rowops.row_set(lw4, 0, 1.0)
     # cloudy free troposphere (1-based k = 3..kx-1)
     aclw = cloudc * ABLCL2
     above = k1b < icltop[None]

@@ -13,6 +13,7 @@ from typing import Tuple
 import jax.numpy as jnp
 
 from ...constants import ALHC, CP
+from . import rowops
 
 TRSHC = 6.0    # shallow-convection relaxation time (h)
 TRVDI = 24.0   # moisture-diffusion relaxation time (h)
@@ -54,16 +55,16 @@ def vertical_diffusion(fsg: jnp.ndarray, dhs: jnp.ndarray, sigh: jnp.ndarray,
 
     unstable = dmse >= 0.0
     fluxse = jnp.where(unstable, fcnv * fshcse * dmse, 0.0)
-    ttenvd = ttenvd.at[nl1 - 1].add(fluxse * rsig[nl1 - 1])
-    ttenvd = ttenvd.at[kx - 1].add(-fluxse * rsig[kx - 1])
+    ttenvd = rowops.row_add(ttenvd, nl1 - 1, fluxse * rsig[nl1 - 1])
+    ttenvd = rowops.row_add(ttenvd, kx - 1, -fluxse * rsig[kx - 1])
 
     fluxq_sc = jnp.where(unstable & (drh >= 0.0),
                          fcnv * fshcq * qsat[kx - 1] * drh, 0.0)
     fluxq_st = jnp.where((~unstable) & (drh > drh0),
                          fvdiq2 * qsat[nl1 - 1] * drh, 0.0)
     fluxq = fluxq_sc + fluxq_st
-    qtenvd = qtenvd.at[nl1 - 1].add(fluxq * rsig[nl1 - 1])
-    qtenvd = qtenvd.at[kx - 1].add(-fluxq * rsig[kx - 1])
+    qtenvd = rowops.row_add(qtenvd, nl1 - 1, fluxq * rsig[nl1 - 1])
+    qtenvd = rowops.row_add(qtenvd, kx - 1, -fluxq * rsig[kx - 1])
 
     # --- 3. moisture diffusion above the PBL (1-based k = 3..kx-2 where
     # sigh(k) > 0.5) ---
@@ -75,8 +76,8 @@ def vertical_diffusion(fsg: jnp.ndarray, dhs: jnp.ndarray, sigh: jnp.ndarray,
         fvdiq2_k = fvdiq * sigh[k]
         drh_k = rh[k0 + 1] - rh[k0]
         fq = jnp.where(drh_k >= drh0_k, fvdiq2_k * qsat[k0] * drh_k, 0.0)
-        qtenvd = qtenvd.at[k0].add(fq * rsig[k0])
-        qtenvd = qtenvd.at[k0 + 1].add(-fq * rsig[k0 + 1])
+        qtenvd = rowops.row_add(qtenvd, k0, fq * rsig[k0])
+        qtenvd = rowops.row_add(qtenvd, k0 + 1, -fq * rsig[k0 + 1])
 
     # --- 4. super-adiabatic lapse-rate damping (1-based k = 1..kx-1):
     # energy taken from all layers below k (suffix compensation) ---
@@ -84,8 +85,8 @@ def vertical_diffusion(fsg: jnp.ndarray, dhs: jnp.ndarray, sigh: jnp.ndarray,
         k0 = k - 1
         se0 = se[k0 + 1] + SEGRAD * (phi[k0] - phi[k0 + 1])
         fse = jnp.where(se[k0] < se0, fvdise * (se0 - se[k0]), 0.0)
-        ttenvd = ttenvd.at[k0].add(fse * rsig[k0])
-        ttenvd = ttenvd.at[k0 + 1:].add(-(fse * rsig1[k0])[None])
+        ttenvd = rowops.row_add(ttenvd, k0, fse * rsig[k0])
+        ttenvd = rowops.tail_add(ttenvd, k0 + 1, -(fse * rsig1[k0])[None])
 
     utenvd = jnp.zeros_like(se)
     vtenvd = jnp.zeros_like(se)
