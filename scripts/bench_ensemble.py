@@ -13,6 +13,10 @@ estimated ~50 sim-days/min per serial Fortran process, 64 members deliver
 chip.
 
 Usage: python scripts/bench_ensemble.py [--members 64] [--days 10]
+       python scripts/bench_ensemble.py --sweep 64,128,256,512
+(--sweep maps the weak-scaling curve past the config-4 floor of 64:
+ the r03 measurement found 123% efficiency AT 64, i.e. the chip is not
+ yet saturated there — VERDICT r04 weak item 6.)
 """
 import argparse
 import json
@@ -37,21 +41,14 @@ from speedy_tpu.parallel.ensemble import Ensemble
 from speedy_tpu.utils import calendar as cal
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--members", type=int, default=64)
-    ap.add_argument("--days", type=int, default=10)
-    args = ap.parse_args()
-
-    cfg = t30(precision="fp32", sppt_on=True, diag_every=3)
-    model = Model(cfg)
-    ens = Ensemble(model, args.members, base_seed=7)
+def bench_one(model, cfg, members: int, days: int) -> dict:
+    ens = Ensemble(model, members, base_seed=7)
     start = cal.Datetime(1982, 1, 1)
     estate = ens.initialize(start)
 
     # per-day date scalars for the span, stacked on a leading day axis
     ds_list, date = [], start
-    for _ in range(args.days):
+    for _ in range(days):
         imont1, tmonth, tyear = cal.season_vars(date, cfg.iseasc, start.month)
         ds_list.append(coupling.make_date_scalars(cfg, model.geom_np, imont1,
                                                   tmonth, tyear,
@@ -81,16 +78,38 @@ def main():
     spread = float(np.std(vor_end, axis=0).max())
     assert spread > 0.0, "ensemble members did not diverge"
 
-    member_days = args.members * args.days
-    print(json.dumps({
+    member_days = members * days
+    return {
         "metric": "ensemble_member_days_per_min_t30l8_sppt",
         "value": round(member_days / wall * 60.0, 1),
         "unit": "member-days/min",
-        "members": args.members,
-        "days": args.days,
+        "members": members,
+        "days": days,
         "wall_s": round(wall, 2),
         "max_member_spread_vor": spread,
-    }))
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--members", type=int, default=64)
+    ap.add_argument("--days", type=int, default=10)
+    ap.add_argument("--sweep", default=None,
+                    help="comma list of member counts, e.g. 64,128,256,512")
+    ap.add_argument("--fused", action="store_true",
+                    help="fuse_physics=True (Pallas column-physics kernel)")
+    args = ap.parse_args()
+
+    cfg = t30(precision="fp32", sppt_on=True, diag_every=3,
+              fuse_physics=args.fused)
+    model = Model(cfg)
+    counts = ([int(x) for x in args.sweep.split(",")] if args.sweep
+              else [args.members])
+    for n in counts:
+        r = bench_one(model, cfg, n, args.days)
+        if args.fused:
+            r["fused"] = True
+        print(json.dumps(r), flush=True)
 
 
 if __name__ == "__main__":

@@ -21,8 +21,13 @@ Run CPU part:  python scripts/fp32_qualification.py --part cpu
 Run TPU parts: python scripts/fp32_qualification.py --part tpu
 (Two invocations because fp64 needs the CPU backend and x64 must be set
 before JAX initializes.)
-Results land in /tmp/fp32_qual_{cpu,tpu}.npz; --part report prints the
-combined table for BASELINE.md.
+Results land in /tmp/fp32_qual_{cpu,tpu}_{preset}.npz; --part report
+prints the combined table for BASELINE.md.
+
+r05 (VERDICT r04 item 4): --preset t85/t170 qualifies the stretch
+presets where fp32 is the only option. The CPU fp64 leg is the cost
+driver (fp64 CPU T170 steps are slow); --days trims the window — the
+early-window drift-vs-spread ratio is the decision quantity.
 """
 import argparse
 import os
@@ -32,7 +37,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-DAYS = 30
+DAYS = 30          # overridden by --days
+PRESET = "t30"     # overridden by --preset
+MEMBERS = 64
 K_MID = 4  # sigma = 0.51
 
 
@@ -63,18 +70,18 @@ def part_cpu():
     import jax
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
-    from speedy_tpu.config import t30
+    from speedy_tpu.config import from_preset
     from speedy_tpu.models.model import Model
     from speedy_tpu.utils import calendar as cal
 
     start = cal.Datetime(1982, 1, 1)
     out = {}
     for prec in ("fp64", "fp32"):
-        m = Model(t30(precision=prec))
+        m = Model(from_preset(PRESET, precision=prec))
         t, ps = run_daily(m, start, DAYS)
         out[f"t_{prec}"], out[f"ps_{prec}"] = t, ps
         print(f"cpu {prec}: done ({DAYS} days)")
-    np.savez("/tmp/fp32_qual_cpu.npz", **out)
+    np.savez(f"/tmp/fp32_qual_cpu_{PRESET}.npz", **out)
 
 
 def part_tpu():
@@ -82,11 +89,10 @@ def part_tpu():
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/speedy_tpu_xla"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    from speedy_tpu.config import t30
+    from speedy_tpu.config import from_preset
     from speedy_tpu.models.model import Model
     from speedy_tpu.parallel.ensemble import Ensemble
     from speedy_tpu.utils import calendar as cal
-    from scripts.profile_ensemble import build_ds_days
 
     start = cal.Datetime(1982, 1, 1)
     out = {}
@@ -94,16 +100,16 @@ def part_tpu():
     # matmul-precision pair (single deterministic runs)
     for label, mp in (("bf16", None), ("f32mm", "float32")):
         jax.config.update("jax_default_matmul_precision", mp)
-        m = Model(t30(precision="fp32"))
+        m = Model(from_preset(PRESET, precision="fp32"))
         t, ps = run_daily(m, start, DAYS)
         out[f"t_{label}"], out[f"ps_{label}"] = t, ps
         print(f"tpu {label}: done")
     jax.config.update("jax_default_matmul_precision", None)
 
     # 64-member SPPT ensemble: daily member fields
-    cfg = t30(precision="fp32", sppt_on=True)
+    cfg = from_preset(PRESET, precision="fp32", sppt_on=True)
     m = Model(cfg)
-    ens = Ensemble(m, 64, base_seed=7)
+    ens = Ensemble(m, MEMBERS, base_seed=7)
     estate = ens.initialize(start)
     date = start
     t_days, ps_days = [], []
@@ -116,7 +122,7 @@ def part_tpu():
     out["t_ens"] = np.stack(t_days)    # [day, member, il, ix]
     out["ps_ens"] = np.stack(ps_days)
     print("tpu ensemble: done")
-    np.savez("/tmp/fp32_qual_tpu.npz", **out)
+    np.savez(f"/tmp/fp32_qual_tpu_{PRESET}.npz", **out)
 
 
 def rms(a):
@@ -124,12 +130,12 @@ def rms(a):
 
 
 def part_report():
-    cpu = np.load("/tmp/fp32_qual_cpu.npz")
-    tpu = np.load("/tmp/fp32_qual_tpu.npz")
+    cpu = np.load(f"/tmp/fp32_qual_cpu_{PRESET}.npz")
+    tpu = np.load(f"/tmp/fp32_qual_tpu_{PRESET}.npz")
     print(f"{'day':>4} {'fp32drift(K)':>13} {'bf16drift(K)':>13} "
           f"{'spread(K)':>10} {'fp32/spread':>12} {'bf16/spread':>12}")
     rows = []
-    for d in range(DAYS):
+    for d in range(min(DAYS, len(cpu["t_fp64"]), len(tpu["t_bf16"]))):
         drift = rms(cpu["t_fp64"][d] - cpu["t_fp32"][d])
         mdrift = rms(tpu["t_bf16"][d] - tpu["t_f32mm"][d])
         spread = rms(tpu["t_ens"][d].std(axis=0))
@@ -147,5 +153,11 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--part", choices=["cpu", "tpu", "report"],
                     required=True)
+    ap.add_argument("--preset", default="t30")
+    ap.add_argument("--days", type=int, default=30)
+    ap.add_argument("--members", type=int, default=64)
     args = ap.parse_args()
+    DAYS = args.days
+    PRESET = args.preset
+    MEMBERS = args.members
     {"cpu": part_cpu, "tpu": part_tpu, "report": part_report}[args.part]()

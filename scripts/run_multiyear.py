@@ -154,6 +154,7 @@ def season_mean(months, season, skip_years=1):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--years", type=int, default=6)
+    ap.add_argument("--preset", default="t30")
     ap.add_argument("--elnino", action="store_true")
     ap.add_argument("--out", default="/tmp/speedy_climatology.npz")
     args = ap.parse_args()
@@ -162,17 +163,17 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/speedy_tpu_xla"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    from speedy_tpu.config import t30
+    from speedy_tpu.config import from_preset
     from speedy_tpu.models.model import Model
     from speedy_tpu.utils import calendar as cal
 
-    cfg = t30(precision="fp32")
+    cfg = from_preset(args.preset, precision="fp32")
     model = Model(cfg)
     month_span = build_month_span(model)
     start = cal.Datetime(1982, 1, 1)
 
     t0 = time.time()
-    print(f"control run: {args.years} years T30L8")
+    print(f"control run: {args.years} years {args.preset}L{cfg.kx}")
     months, _ = run_years(model, start, args.years, month_span)
     wall = time.time() - t0
 
@@ -201,7 +202,7 @@ def main():
         )
     # object array of per-month dicts: np.load needs allow_pickle=True
     np.savez(args.out, months=np.array(months, dtype=object))
-    print(json.dumps({"metric": f"climatology_{args.years}y",
+    print(json.dumps({"metric": f"climatology_{args.preset}_{args.years}y",
                       "wall_s": round(wall, 1), **summary}))
 
     if args.elnino:

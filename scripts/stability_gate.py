@@ -35,18 +35,19 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 DEFAULT_PRESETS = "t30,t42,t63,t85,t170"
 
 
-def gate_preset(name: str, n_days: int) -> dict:
+def gate_preset(name: str, n_days: int, fused: bool = False) -> dict:
     import jax
     from speedy_tpu.config import from_preset
     from speedy_tpu.models.model import Model
     from speedy_tpu.utils import calendar as cal
 
-    cfg = from_preset(name, precision="fp32")  # diag_every=1 default
+    cfg = from_preset(name, precision="fp32", fuse_physics=fused)
+    # diag_every=1 default: the guard samples every step
     model = Model(cfg)
     start = cal.Datetime(1982, 1, 1)
     t0 = time.time()
     result = dict(preset=name, days=n_days, diag_every=cfg.diag_every,
-                  dt_s=cfg.delt, guard_clean=False)
+                  dt_s=cfg.delt, fused=fused, guard_clean=False)
     try:
         state = model.run_fast(start, n_days, check=True)
     except Exception as e:  # guard raise includes the failing day index
@@ -80,6 +81,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--presets", default=DEFAULT_PRESETS)
     ap.add_argument("--days", type=int, default=90)
+    ap.add_argument("--fused", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -89,7 +91,7 @@ def main():
 
     ok = True
     for name in args.presets.split(","):
-        r = gate_preset(name.strip(), args.days)
+        r = gate_preset(name.strip(), args.days, args.fused)
         ok = ok and r.get("pass", False)
         print(json.dumps(r), flush=True)
     print(json.dumps({"metric": "stability_gate",

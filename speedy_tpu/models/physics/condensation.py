@@ -32,9 +32,13 @@ def large_scale_condensation(geom_fsg: jnp.ndarray, geom_dhs: jnp.ndarray,
     prg = P0 / GRAV
     psa2 = psa**2
 
-    sig2 = geom_fsg**2                       # [kx]
+    # host-side level profile: keep it numpy so the [kx] -> [kx,1,1]
+    # expansions below fold to constants at trace time (a traced 1-D ->
+    # 3-D reshape is an unsupported Mosaic layout cast in the fused
+    # Pallas kernel)
+    sig2 = np.asarray(geom_fsg)**2           # [kx]
     rhref = RHLSC + DRHLSC * (sig2 - 1.0)
-    rhref = rowops.row_set(rhref, kx - 1, jnp.maximum(rhref[kx - 1], RHBLSC))
+    rhref[kx - 1] = max(float(rhref[kx - 1]), RHBLSC)
     dqmax = qsmax * sig2 * rtlsc
 
     dqa = rhref[:, None, None] * qsat - qa   # [kx, il, ix]

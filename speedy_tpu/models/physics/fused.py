@@ -47,11 +47,12 @@ def _pick_tile(il: int, nbytes_full: int, budget: int = 6 << 20) -> int:
 
 
 def _kernel(n_in, n_out, const_shapes, body, *refs):
-    # ref order: inputs, hoisted constants, then outputs
+    # ref order: inputs, hoisted constants, then outputs; constants ride
+    # at their original shapes (in-kernel reshapes are Mosaic layout
+    # casts, unsupported for the small level-table shapes)
     n_c = len(const_shapes)
     ins = [r[...] for r in refs[:n_in]]
-    consts = [r[...].reshape(s) for r, s in
-              zip(refs[n_in:n_in + n_c], const_shapes)]
+    consts = [r[...] for r in refs[n_in:n_in + n_c]]
     outs = refs[n_in + n_c:]
     flat = body(*ins, *consts)
     for o, v in zip(outs, flat):
@@ -142,10 +143,7 @@ def fused_grid_physics(cfg, pp, compute_sw, daily, surf, rad, pg):
         return jax.core.eval_jaxpr(closed.jaxpr, args[n_in:], *args[:n_in])
 
     const_shapes = [tuple(np.shape(c)) for c in consts]
-    # transport each constant as a 2-D (1, size) array (TPU-friendly)
-    consts2d = [jnp.reshape(jnp.asarray(c),
-                            (1, max(1, int(np.prod(np.shape(c))))))
-                for c in consts]
+    consts2d = [jnp.asarray(c) for c in consts]
 
     def spec_for(shape, full=False):
         if full or tiled(shape) is None:

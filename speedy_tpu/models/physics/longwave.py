@@ -40,7 +40,7 @@ def build_fband() -> np.ndarray:
     return fband
 
 
-def _fband_at(ta: jnp.ndarray) -> jnp.ndarray:
+def _fband_at(ta: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """fband rows for nint(ta) -> [..., 4].
 
     Evaluated directly as the clamped quadratics the table is built from
@@ -57,7 +57,11 @@ def _fband_at(ta: jnp.ndarray) -> jnp.ndarray:
     f2 = (0.356 - 5.2e-6 * (tq - 282.0) ** 2) * eps1
     f3 = (0.314 + 1.0e-5 * (tq - 315.0) ** 2) * eps1
     f0 = eps1 - f1 - f2 - f3
-    return jnp.stack([f0, f1, f2, f3], axis=-1)
+    # axis: where the 4-band axis lands (axis=1 for [kx, 4, il, ix] etc.).
+    # Stacking straight onto the target axis instead of stack(-1)+moveaxis
+    # keeps the last-two (lat, lon) dims vector-friendly for the Pallas
+    # fused kernel (Mosaic cannot layout-cast a trailing 4-band axis).
+    return jnp.stack([f0, f1, f2, f3], axis=axis)
 
 
 def downward_longwave(wvi2: np.ndarray, tau2: jnp.ndarray, ta: jnp.ndarray
@@ -94,13 +98,13 @@ def downward_longwave(wvi2: np.ndarray, tau2: jnp.ndarray, ta: jnp.ndarray
     st4a2 = jnp.stack(st4a2, axis=0)
 
     dfabs = jnp.zeros_like(ta)
-    fb = _fband_at(ta)  # [kx, il, ix, 4]
+    fb = _fband_at(ta, axis=1)  # [kx, 4, il, ix]
 
     # 3.1 stratosphere, bands 1-2, k=1
     flux = [None] * NBAND
     for jb in range(2):
         emis = 1.0 - tau2[jb, 0]
-        brad = fb[0, ..., jb] * (st4a1[0] + emis * st4a2[0])
+        brad = fb[0, jb] * (st4a1[0] + emis * st4a2[0])
         flux[jb] = emis * brad
         dfabs = rowops.row_add(dfabs, 0, -flux[jb])
     for jb in range(2, NBAND):
@@ -111,7 +115,7 @@ def downward_longwave(wvi2: np.ndarray, tau2: jnp.ndarray, ta: jnp.ndarray
         f = flux[jb]
         for k in range(1, kx):
             emis = 1.0 - tau2[jb, k]
-            brad = fb[k, ..., jb] * (st4a1[k] + emis * st4a2[k])
+            brad = fb[k, jb] * (st4a1[k] + emis * st4a2[k])
             dfabs = rowops.row_add(dfabs, k, f)
             f = tau2[jb, k] * f + emis * brad
             dfabs = rowops.row_add(dfabs, k, -f)
@@ -162,7 +166,7 @@ def downward_longwave_vec(wvi2: np.ndarray, tau2: jnp.ndarray,
     st4a1 = jnp.stack(st4a1, axis=0)
     st4a2 = jnp.stack(st4a2, axis=0)
 
-    fb = jnp.moveaxis(_fband_at(ta), -1, 1)  # [kx, 4, il, ix]
+    fb = _fband_at(ta, axis=1)  # [kx, 4, il, ix]
 
     # 3.1 stratosphere, bands 1-2, k=1
     emis0 = 1.0 - tau2[:2, 0]
@@ -202,8 +206,8 @@ def upward_longwave_vec(dhs: np.ndarray, tau2: jnp.ndarray,
     refsfc = 1.0 - EMISFC
     slr = fsfcu - fsfcd
 
-    fb_ts = jnp.moveaxis(_fband_at(ts), -1, 0)   # [4, il, ix]
-    fb = jnp.moveaxis(_fband_at(ta), -1, 1)      # [kx, 4, il, ix]
+    fb_ts = _fband_at(ts, axis=0)   # [4, il, ix]
+    fb = _fband_at(ta, axis=1)      # [kx, 4, il, ix]
     fluxes = fb_ts * fsfcu + refsfc * flux       # [4, il, ix]
 
     dfa_add = [jnp.zeros_like(ta[0]) for _ in range(kx)]
@@ -244,9 +248,9 @@ def upward_longwave(dhs: np.ndarray, tau2: jnp.ndarray,
     refsfc = 1.0 - EMISFC
     slr = fsfcu - fsfcd
 
-    fb_ts = _fband_at(ts)  # [il, ix, 4]
-    fb = _fband_at(ta)
-    fluxes = [fb_ts[..., jb] * fsfcu + refsfc * flux[jb]
+    fb_ts = _fband_at(ts, axis=0)  # [4, il, ix]
+    fb = _fband_at(ta, axis=1)     # [kx, 4, il, ix]
+    fluxes = [fb_ts[jb] * fsfcu + refsfc * flux[jb]
               for jb in range(NBAND)]
 
     dfabs = rowops.row_add(dfabs, kx - 1, EPSLW * fsfcu)
@@ -255,7 +259,7 @@ def upward_longwave(dhs: np.ndarray, tau2: jnp.ndarray,
         f = fluxes[jb]
         for k in range(kx - 1, 0, -1):  # 0-based kx-1 .. 1
             emis = 1.0 - tau2[jb, k]
-            brad = fb[k, ..., jb] * (st4a1[k] - emis * st4a2[k])
+            brad = fb[k, jb] * (st4a1[k] - emis * st4a2[k])
             dfabs = rowops.row_add(dfabs, k, f)
             f = tau2[jb, k] * f + emis * brad
             dfabs = rowops.row_add(dfabs, k, -f)
@@ -264,7 +268,7 @@ def upward_longwave(dhs: np.ndarray, tau2: jnp.ndarray,
     # stratosphere k=1, bands 1-2
     for jb in range(2):
         emis = 1.0 - tau2[jb, 0]
-        brad = fb[0, ..., jb] * (st4a1[0] - emis * st4a2[0])
+        brad = fb[0, jb] * (st4a1[0] - emis * st4a2[0])
         dfabs = rowops.row_add(dfabs, 0, fluxes[jb])
         fluxes[jb] = tau2[jb, 0] * fluxes[jb] + emis * brad
         dfabs = rowops.row_add(dfabs, 0, -fluxes[jb])
