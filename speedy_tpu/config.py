@@ -115,15 +115,20 @@ class ModelConfig:
     #                              of the latency-bound step, measured r04,
     #                              scripts/bench_step_variants.py). Must
     #                              divide nstrad.
-    fuse_physics: bool = False   # run the whole column-physics chain as
-    #                              ONE Pallas VPU kernel over latitude
-    #                              tiles (physics/fused.py) instead of
-    #                              ~700 XLA mini-kernels. Same arithmetic
-    #                              (the kernel calls grid_physics_core,
-    #                              the single source of truth); subject to
-    #                              the 90-day stability gate like every
-    #                              compile change (scripts/
-    #                              stability_gate.py).
+    fuse_physics: Optional[bool] = None  # run the whole column-physics
+    #                              chain as ONE Pallas VPU kernel over
+    #                              latitude tiles (physics/fused.py)
+    #                              instead of ~700 XLA mini-kernels
+    #                              (+60% ensemble throughput, r05). Same
+    #                              arithmetic: the kernel calls
+    #                              grid_physics_core, the single source
+    #                              of truth. None (default) = auto: ON
+    #                              for accelerator backends, OFF on CPU
+    #                              (Pallas interpret mode is for tests,
+    #                              not production CPU runs). True/False
+    #                              force either path. Gated by the
+    #                              90-day stability matrix like every
+    #                              compile change (BASELINE.md r05).
     lw_band_vectorized: bool = True  # band-axis-vectorized LW sweeps
     #                              (longwave.py *_vec; 1.3% step win,
     #                              parity-green). Reverted in r04 when it

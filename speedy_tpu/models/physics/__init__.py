@@ -274,7 +274,11 @@ def get_physical_tendencies(cfg: ModelConfig, pp: PhysicsParams,
     tendencies, plus PhysicsAux. ``compute_sw`` is a static Python bool
     (shortwave cadence, speedy.f90:35).
     """
-    if cfg.fuse_physics:
+    use_fused = cfg.fuse_physics
+    if use_fused is None:  # auto: fused on accelerators, plain on CPU
+        import jax
+        use_fused = jax.default_backend() != "cpu"
+    if use_fused:
         from . import fused
         outs = fused.fused_grid_physics(cfg, pp, compute_sw, daily, surf,
                                         rad, pg)

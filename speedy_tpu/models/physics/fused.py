@@ -29,6 +29,7 @@ compiled numerics, it is subject to the 90-day stability gate
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -36,8 +37,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 
-def _pick_tile(il: int, nbytes_full: int, budget: int = 6 << 20) -> int:
-    """Largest power-of-two latitude split keeping a tile under budget."""
+def _pick_tile(il: int, nbytes_full: int, budget: int = 5 << 20) -> int:
+    """Largest power-of-two latitude split keeping a tile under budget.
+
+    ``nbytes_full`` must already include lane padding; the budget leaves
+    room for Mosaic's double-buffered pipelining (x2) plus constants and
+    semaphores inside the 16 MB scoped-VMEM limit (a t63 tile measured
+    ~2.0x its padded single-buffer estimate before failing at 22.8 MB
+    scoped when the estimate ignored padding)."""
     tile = il
     while tile > 8 and nbytes_full * tile // il > budget:
         if tile % 2:
@@ -116,23 +123,49 @@ def fused_grid_physics(cfg, pp, compute_sw, daily, surf, rad, pg):
                        (il, ix), (il, ix), (il, ix)]
     n_out = len(out_shapes)
 
-    nbytes = sum(int(np.prod(s)) for s in
+    def padded(shape):
+        """Element count after TPU (8, 128) tile padding of the last
+        two dims — what VMEM actually holds for a block."""
+        s = list(shape) if len(shape) >= 2 else [1] + list(shape)
+        s[-1] = -(-s[-1] // 128) * 128
+        s[-2] = -(-s[-2] // 8) * 8
+        return int(np.prod(s))
+
+    nbytes = sum(padded(s) for s in
                  [tuple(x.shape) for x in ins] + out_shapes) \
         * jnp.dtype(rt).itemsize
-    tile = _pick_tile(il, nbytes)
+    # 2-D (lat, lon) tiling: physics is column-local, so both grid axes
+    # split freely. Tile sizes are empirical (Mosaic's scoped-VMEM
+    # accounting includes live kernel intermediates, which defeats
+    # byte-sum models); SPEEDY_TPU_FUSED_TILE="ti,tx" overrides.
+    override = os.environ.get("SPEEDY_TPU_FUSED_TILE")
+    if override:
+        ti, tx = (int(v) for v in override.split(","))
+    else:
+        ti = _pick_tile(il, nbytes)
+        tx = ix
+        # lanes stay >=128 and aligned; shrink lon only when lat tiling
+        # alone cannot get under budget (big presets)
+        while (ti == 8 and tx % 256 == 0 and tx > 128
+               and nbytes * ti * tx // (il * ix) > (2 << 20)):
+            tx //= 2
+    assert il % ti == 0 and ix % tx == 0, (ti, tx, il, ix)
 
-    def tiled(shape):
-        lat_ax = [d for d, s in enumerate(shape) if s == il]
-        return lat_ax[-1] if lat_ax else None
+    def axes(shape):
+        """(lat_axis, lon_axis) of a shape; lon only if last dim == ix."""
+        lat = [d for d, s in enumerate(shape) if s == il]
+        lon = len(shape) - 1 if shape and shape[-1] == ix else None
+        return (lat[-1] if lat else None), lon
+
+    def blk_shape(shape):
+        la, lo = axes(shape)
+        return tuple(ti if d == la else (tx if d == lo else s)
+                     for d, s in enumerate(shape))
 
     # hoist the core's baked-in level-table constants into explicit
     # inputs (traced at TILE shapes so any extent-dependent constant is
     # consistent with the blocks the kernel sees)
-    def tile_shape(shape):
-        ax = tiled(shape)
-        return tuple(tile if d == ax else s for d, s in enumerate(shape))
-
-    ex = [jax.ShapeDtypeStruct(tile_shape(tuple(x.shape)), x.dtype)
+    ex = [jax.ShapeDtypeStruct(blk_shape(tuple(x.shape)), x.dtype)
           for x in ins]
     closed = jax.make_jaxpr(body)(*ex)
     consts = closed.consts
@@ -146,21 +179,21 @@ def fused_grid_physics(cfg, pp, compute_sw, daily, surf, rad, pg):
     consts2d = [jnp.asarray(c) for c in consts]
 
     def spec_for(shape, full=False):
-        if full or tiled(shape) is None:
+        la, lo = axes(shape)
+        if full or (la is None and lo is None):
             nd = len(shape)
-            return pl.BlockSpec(shape, lambda i, nd=nd: (0,) * nd)
-        ax = tiled(shape)
-        blk = tuple(tile if d == ax else s for d, s in enumerate(shape))
+            return pl.BlockSpec(shape, lambda i, j, nd=nd: (0,) * nd)
 
-        def imap(i, ax=ax, nd=len(shape)):
-            return tuple(i if d == ax else 0 for d in range(nd))
-        return pl.BlockSpec(blk, imap)
+        def imap(i, j, la=la, lo=lo, nd=len(shape)):
+            return tuple(i if d == la else (j if d == lo else 0)
+                         for d in range(nd))
+        return pl.BlockSpec(blk_shape(shape), imap)
 
     out_sds = [jax.ShapeDtypeStruct(s, rt) for s in out_shapes]
     interpret = jax.default_backend() == "cpu"
     fn = pl.pallas_call(
         functools.partial(_kernel, n_in, n_out, const_shapes, converted),
-        grid=(il // tile,),
+        grid=(il // ti, ix // tx),
         in_specs=[spec_for(tuple(x.shape)) for x in ins]
         + [spec_for(tuple(c.shape), full=True) for c in consts2d],
         out_specs=[spec_for(s) for s in out_shapes],
