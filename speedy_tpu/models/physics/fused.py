@@ -53,6 +53,15 @@ def _pick_tile(il: int, nbytes_full: int, budget: int = 5 << 20) -> int:
     return tile
 
 
+# Hardware-validated (il, ix) -> (ti, tx) tile choices where the
+# heuristic's pick fails Mosaic's 16 MB scoped-VMEM accounting (which
+# includes live kernel intermediates and is not predictable from block
+# byte sums: a t85 5.2 MB/block config compiles while a t170 5.16 MB one
+# does not). Presets not listed use the heuristic, whose picks are
+# themselves validated by the 90-day stability gate.
+_KNOWN_TILES = {(256, 512): (8, 256)}   # t170 (gate + tile sweep, r05)
+
+
 def _kernel(n_in, n_out, const_shapes, body, *refs):
     # ref order: inputs, hoisted constants, then outputs; constants ride
     # at their original shapes (in-kernel reshapes are Mosaic layout
@@ -141,6 +150,8 @@ def fused_grid_physics(cfg, pp, compute_sw, daily, surf, rad, pg):
     override = os.environ.get("SPEEDY_TPU_FUSED_TILE")
     if override:
         ti, tx = (int(v) for v in override.split(","))
+    elif (il, ix) in _KNOWN_TILES:
+        ti, tx = _KNOWN_TILES[(il, ix)]
     else:
         ti = _pick_tile(il, nbytes)
         tx = ix
