@@ -142,7 +142,10 @@ def run_years(model, start, n_years, month_span):
     return months, state
 
 
-def season_mean(months, season, skip_years=1):
+def season_mean(months, season, skip_years=None):
+    if skip_years is None:  # single-year runs have no spin-up year to drop
+        n_years = len({m["year"] for m in months})
+        skip_years = 1 if n_years > 1 else 0
     sel = {"DJF": (12, 1, 2), "JJA": (6, 7, 8)}[season]
     first_year = min(m["year"] for m in months)
     picked = [m for m in months
@@ -177,6 +180,10 @@ def main():
     months, _ = run_years(model, start, args.years, month_span)
     wall = time.time() - t0
 
+    # save BEFORE the summary so a summary bug cannot lose the run
+    # (object array of per-month dicts: np.load needs allow_pickle=True)
+    np.savez(args.out, months=np.array(months, dtype=object))
+
     # --- summary ---
     geom = model.geom_np
     fsg = geom["fsg"]
@@ -200,8 +207,6 @@ def main():
             olr_max_Wm2=round(float(s["olr"].max()), 1),
             t_sfc_global_K=round(gm(s["t"][cfg.kx - 1]), 1),
         )
-    # object array of per-month dicts: np.load needs allow_pickle=True
-    np.savez(args.out, months=np.array(months, dtype=object))
     print(json.dumps({"metric": f"climatology_{args.preset}_{args.years}y",
                       "wall_s": round(wall, 1), **summary}))
 

@@ -59,7 +59,16 @@ def _pick_tile(il: int, nbytes_full: int, budget: int = 5 << 20) -> int:
 # byte sums: a t85 5.2 MB/block config compiles while a t170 5.16 MB one
 # does not). Presets not listed use the heuristic, whose picks are
 # themselves validated by the 90-day stability gate.
-_KNOWN_TILES = {(256, 512): (8, 256)}   # t170 (gate + tile sweep, r05)
+_KNOWN_TILES = {
+    (256, 512): (8, 256),    # t170 (gate + tile sweep, r05)
+    (128, 256): (16, 256),   # t85: the heuristic's (32, 256) compiles
+    #                          single-model but the vmapped 64-member
+    #                          ensemble kernel then exceeds scoped VMEM
+    #                          by 0.6 MB — halve the lat tile
+    (96, 192): (16, 192),    # t63: same precaution (heuristic was 24;
+    #                          lat tiles must be multiples of 8 — the
+    #                          Pallas block sublane constraint)
+}
 
 
 def _kernel(n_in, n_out, const_shapes, body, *refs):

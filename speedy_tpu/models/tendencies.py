@@ -126,7 +126,18 @@ def grid_dynamics_tendencies(cfg: ModelConfig, dyn: DynConsts, ic: ImplicitConst
                 off += n
             return out[0] if len(out) == 1 else jnp.concatenate(out, axis=0)
     else:
-        plain_g = sp.spec_to_grid(sc, jnp.concatenate(plain_fields, axis=0))
+        stack = jnp.concatenate(plain_fields, axis=0)
+        # Pad the channel batch to a multiple of 8: XLA's layout for the
+        # odd-sized merged stack is pathological (B=65 measured 9.8
+        # us/direction vs 2.1 at B=72 — r05 B-sweep, BASELINE.md). The
+        # zero channels are dead outputs; every real channel's transform
+        # is an independent contraction, so its values are unchanged.
+        pad = (-stack.shape[0]) % 8
+        if pad and stack.shape[0] > 40:
+            stack = jnp.concatenate(
+                [stack, jnp.zeros((pad,) + stack.shape[1:], stack.dtype)],
+                axis=0)
+        plain_g = sp.spec_to_grid(sc, stack)
         plain_slice = lambda a, b: plain_g[a:b]
     vorg = plain_slice(0, kx)
     divg = plain_slice(kx, 2 * kx)

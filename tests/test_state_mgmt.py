@@ -306,7 +306,11 @@ def test_ensemble_per_step_output(tmp_path):
     assert end == cal.Datetime(1982, 1, 2)
     for i in range(2):
         files = sorted((tmp_path / f"member{i:03d}").glob("*.nc"))
-        assert len(files) == cfg.nsteps, (i, len(files))
+        # nsteps + the t=0 initial-condition snapshot (the reference
+        # writes one at model_step-1 == 0, input_output.f90 via
+        # speedy.f90:50; ADVICE r04)
+        assert len(files) == cfg.nsteps + 1, (i, len(files))
+        assert files[0].name == "198201010000.nc"
         assert files[-1].name == "198201020000.nc"
     # members differ (SPPT) and the files record it
     from scipy.io import netcdf_file
