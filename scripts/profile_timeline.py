@@ -85,6 +85,9 @@ def main():
     ap.add_argument("--members", type=int, default=64)
     ap.add_argument("--days", type=int, default=1)
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--diag-every", type=int, default=3,
+                    help="3 = the bench cadence; 1 = reference cadence")
+    ap.add_argument("--no-fuse", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -98,7 +101,8 @@ def main():
     from speedy_tpu.utils import calendar as cal
     from scripts.profile_ensemble import build_ds_days
 
-    cfg = t30(precision="fp32", sppt_on=True)
+    cfg = t30(precision="fp32", sppt_on=True, diag_every=args.diag_every,
+              fuse_physics=(False if args.no_fuse else None))
     model = Model(cfg)
     start = cal.Datetime(1982, 1, 1)
     ens = Ensemble(model, args.members, base_seed=7)

@@ -170,6 +170,11 @@ def fused_grid_physics(cfg, pp, compute_sw, daily, surf, rad, pg):
                and nbytes * ti * tx // (il * ix) > (2 << 20)):
             tx //= 2
     assert il % ti == 0 and ix % tx == 0, (ti, tx, il, ix)
+    # Pallas block constraint: sublane dim multiple of 8, lane dim
+    # multiple of 128 (or the full extent) — caught at trace time so a
+    # bad pin/override fails fast, not as an opaque Mosaic error
+    assert ti % 8 == 0 or ti == il, f"lat tile {ti} not a multiple of 8"
+    assert tx % 128 == 0 or tx == ix, f"lon tile {tx} not 128-aligned"
 
     def axes(shape):
         """(lat_axis, lon_axis) of a shape; lon only if last dim == ix."""
