@@ -77,7 +77,9 @@ def main():
     ap.add_argument("--preset", default="t85")
     ap.add_argument("--days", type=int, default=90)
     ap.add_argument("--chunk", type=int, default=3)
-    ap.add_argument("--lwvec", action="store_true")
+    ap.add_argument("--lwvec", action="store_true", default=None,
+                    help="force LW band vectorization ON (config default\n                    is already True; --no-lwvec forces the reference\n                    sweep order)")
+    ap.add_argument("--no-lwvec", dest="lwvec", action="store_false")
     ap.add_argument("--rob", type=float, default=None)
     ap.add_argument("--wil", type=float, default=None)
     ap.add_argument("--thd", type=float, default=None)
@@ -99,7 +101,9 @@ def main():
     from speedy_tpu.models.model import Model
     from speedy_tpu.utils import calendar as cal
 
-    kw = dict(precision="fp32", lw_band_vectorized=args.lwvec)
+    kw = dict(precision="fp32")
+    if args.lwvec is not None:
+        kw["lw_band_vectorized"] = args.lwvec
     for f in ("rob", "wil", "thd", "thdd", "thds", "nsteps"):
         v = getattr(args, f)
         if v is not None:
@@ -157,7 +161,7 @@ def main():
     print(json.dumps(dict(
         metric="stability_diag", preset=args.preset, days_run=day,
         status=status, first_guard_trip_day=first_bad,
-        lwvec=args.lwvec, f32_matmul=args.f32_matmul,
+        lwvec=cfg.lw_band_vectorized, f32_matmul=args.f32_matmul,
         rob=cfg.rob, thd=cfg.thd, thdd=cfg.thdd, thds=cfg.thds,
         nsteps=cfg.nsteps, out=args.out,
         wall_s=round(time.time() - t0, 1))))

@@ -301,9 +301,13 @@ class Model:
     # ------------------------------------------------------------------
     def run_fast(self, start: cal.Datetime, n_days: int,
                  state: Optional[ModelState] = None,
-                 check: bool = True) -> ModelState:
+                 check: bool = True, max_chunk_days: int = 90
+                 ) -> ModelState:
         """Fast path: the whole span runs as one on-device scan over days
-        (chunked at month boundaries when SST-anomaly forcing is active).
+        (chunked at month boundaries when SST-anomaly forcing is active,
+        and at ``max_chunk_days`` regardless — single device dispatches
+        beyond ~2 minutes can trip backend watchdogs; a 180-day T170
+        dispatch reproducibly crashed the tunneled worker, r05).
         No per-step output; the stability guard is checked per day from the
         returned extrema. Used for climatology runs and benchmarks."""
         cfg = self.cfg
@@ -325,6 +329,7 @@ class Model:
                             cal.NDAYCAL[date.month - 1] - date.day + 1)
             else:
                 chunk = days_left
+            chunk = min(chunk, max_chunk_days)
             ds_days, d = self.make_ds_days(date, start, chunk)
             state, guard = self._run_span(self.mc, state, ds_days)
             if check:

@@ -11,6 +11,8 @@ Grid-point fields use [kx, il, ix]; spectral fields [kx, mx, nx, 2].
 from __future__ import annotations
 
 from typing import Callable, NamedTuple, Optional, Tuple
+import os
+
 
 import jax.numpy as jnp
 
@@ -133,6 +135,8 @@ def grid_dynamics_tendencies(cfg: ModelConfig, dyn: DynConsts, ic: ImplicitConst
         # zero channels are dead outputs; every real channel's transform
         # is an independent contraction, so its values are unchanged.
         pad = (-stack.shape[0]) % 8
+        if os.environ.get("SPEEDY_TPU_NO_CHANNEL_PAD"):  # A/B escape
+            pad = 0
         if pad and stack.shape[0] > 40:
             stack = jnp.concatenate(
                 [stack, jnp.zeros((pad,) + stack.shape[1:], stack.dtype)],
