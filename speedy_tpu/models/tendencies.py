@@ -137,6 +137,11 @@ def grid_dynamics_tendencies(cfg: ModelConfig, dyn: DynConsts, ic: ImplicitConst
         pad = (-stack.shape[0]) % 8
         if os.environ.get("SPEEDY_TPU_NO_CHANNEL_PAD"):  # A/B escape
             pad = 0
+        if cfg.ix > 128:
+            # measured at T85/T170: no B=65 layout pathology there, and
+            # the +10% dead-channel FLOPs COST ~2.5-3% warm throughput
+            # (BASELINE.md r05 padding A/B) — pad only the small grids
+            pad = 0
         if pad and stack.shape[0] > 40:
             stack = jnp.concatenate(
                 [stack, jnp.zeros((pad,) + stack.shape[1:], stack.dtype)],
