@@ -16,7 +16,9 @@ from speedy_tpu.models.model import Model
 from speedy_tpu.models import coupling
 from speedy_tpu.utils import calendar as cal
 
-pytestmark = pytest.mark.smoke
+# interpret-mode Pallas on CPU is slow (~2 min for the pair) — the
+# default tier runs these; the <60 s smoke tier keeps only a dispatch
+# check (test_fused_auto_dispatch below)
 
 
 def _two_steps(cfg):
@@ -64,3 +66,21 @@ def test_fused_physics_tiles_t85():
         y = np.asarray(getattr(b1.prog, name))
         err = np.abs(y - x).max() / max(np.abs(x).max(), 1e-30)
         assert err < 1e-13, (name, err)
+
+
+@pytest.mark.smoke
+def test_fused_auto_dispatch_cpu_uses_plain_path(monkeypatch):
+    """fuse_physics=None means auto: plain XLA on CPU backends. The
+    dispatch must NOT call into physics.fused (interpret mode is for
+    forced tests only)."""
+    import speedy_tpu.models.physics.fused as fused_mod
+
+    called = {}
+    def boom(*a, **k):
+        called["hit"] = True
+        raise AssertionError("fused path must not run on CPU under auto")
+    monkeypatch.setattr(fused_mod, "fused_grid_physics", boom)
+    cfg = t30(precision="fp64")  # fuse_physics=None (auto)
+    assert cfg.fuse_physics is None
+    _two_steps(cfg)  # would raise via boom if auto picked the fused path
+    assert "hit" not in called
